@@ -1,0 +1,313 @@
+"""Fused multi-head attention for TPU: Pallas flash-attention forward.
+
+Replaces the reference's flash-attn-2 CUDA wheel
+(`/root/reference/src/agent_core/qwen_reasoning_core.py:1824-1844`) with a
+blocked online-softmax kernel: the grid walks (batch, q-head, q-block,
+k-block); running max / normalizer / output accumulators live in VMEM
+scratch across the sequential k-block dimension, so attention never
+materializes the [Sq, Sk] score matrix in HBM.
+
+Supports grouped-query attention (kv heads broadcast over query-head
+groups via the k/v index maps), causal masking with diagonal-block
+early-out, and right-padded keys (static ``kv_len``).
+
+The public entry :func:`dot_product_attention` dispatches to the kernel on
+TPU and to an XLA einsum path elsewhere; gradients always take the XLA
+path (forward is wrapped in ``jax.custom_vjp`` with a recompute backward),
+which keeps training correct while inference stays on the fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128          # TPU lane width: last-dim tile and scratch width
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
+NEG_INF = -1e30     # big-negative instead of -inf: keeps exp() NaN-free
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_ref, l_ref, acc_ref,
+    *, sm_scale: float, causal: bool, kv_len: int,
+    block_q: int, block_k: int, num_k_blocks: int,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Last k-block this q-block must visit (diagonal block when causal).
+    if causal:
+        last_ik = jnp.minimum(
+            ((iq + 1) * block_q - 1) // block_k, num_k_blocks - 1
+        )
+    else:
+        last_ik = num_k_blocks - 1
+
+    @pl.when(ik <= last_ik)
+    def _step():
+        # keep matmul inputs in their storage dtype (bf16 on the MXU),
+        # accumulate f32 via preferred_element_type
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (BQ, BK) f32
+
+        # Masking is only paid where it can bite: the causal mask on
+        # diagonal-straddling blocks, the key-padding mask on the final
+        # k block (when kv_len is not block-aligned).
+        needs_pad_mask = kv_len is not None and kv_len % block_k != 0
+
+        def _mask(s):
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+            if needs_pad_mask:
+                s = jnp.where(col < kv_len, s, NEG_INF)
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + iq * block_q
+                )
+                s = jnp.where(col <= row, s, NEG_INF)
+            return s
+
+        if causal or needs_pad_mask:
+            on_diag = ((ik + 1) * block_k - 1) > (iq * block_q)
+            is_tail = ik == pl.num_programs(3) - 1
+            cond = jnp.logical_or(
+                jnp.logical_and(bool(causal), on_diag),
+                jnp.logical_and(bool(needs_pad_mask), is_tail),
+            )
+            s = jax.lax.cond(cond, _mask, lambda s: s, s)
+
+        m_prev = m_ref[:, :1]                              # (BQ, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                             # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_new)                    # (BQ, 1)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+        v = v_ref[0, 0]                                    # (BK, D)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == last_ik)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blocked flash-attention forward.
+
+    Args:
+        q: [B, Hq, Sq, D] queries.
+        k/v: [B, Hkv, Sk, D]; Hq must be a multiple of Hkv (GQA broadcast).
+        causal: apply a causal mask (query i attends keys <= i).
+        sm_scale: score scale; default 1/sqrt(D).
+        kv_len: number of valid keys (static); keys beyond are masked.
+            Defaults to Sk.
+    Returns:
+        [B, Hq, Sq, D] outputs in q's dtype.
+    """
+    batch, num_q_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    if num_q_heads % num_kv_heads:
+        raise ValueError(f"Hq={num_q_heads} not a multiple of Hkv={num_kv_heads}")
+    group = num_q_heads // num_kv_heads
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+    valid_kv = kv_len if kv_len is not None else seq_k
+
+    block_q = min(block_q, _round_up(seq_q, 8))
+    block_k = min(block_k, _round_up(seq_k, 8))
+
+    # Pad to block/lane multiples; padded keys are masked via valid_kv,
+    # padded query rows and head-dim lanes are sliced off below.
+    pq, pk = _round_up(seq_q, block_q), _round_up(seq_k, block_k)
+    pd = _round_up(head_dim, LANE)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq - seq_q), (0, pd - head_dim)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk - seq_k), (0, pd - head_dim)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk - seq_k), (0, pd - head_dim)))
+
+    nq, nk = pq // block_q, pk // block_k
+    grid = (batch, num_q_heads, nq, nk)
+
+    kernel = functools.partial(
+        _attn_kernel,
+        sm_scale=scale,
+        causal=causal,
+        kv_len=valid_kv,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_blocks=nk,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, pd),
+                lambda b, h, iq, ik: (b, h, iq, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, pd),
+                lambda b, h, iq, ik, g=group: (b, h // g, ik, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, pd),
+                lambda b, h, iq, ik, g=group: (b, h // g, ik, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, pd),
+            lambda b, h, iq, ik: (b, h, iq, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, num_q_heads, pq, pd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANE), jnp.float32),  # running max
+            pltpu.VMEM((block_q, LANE), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, pd), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    return out[:, :, :seq_q, :head_dim]
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+) -> jax.Array:
+    """XLA einsum attention with identical masking semantics (fallback +
+    ground truth for kernel tests; also the backward-pass recompute)."""
+    batch, num_q_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    group = num_q_heads // num_kv_heads
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len is not None and kv_len < seq_k:
+        col = jnp.arange(seq_k)[None, None, None, :]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if causal:
+        row = jnp.arange(seq_q)[:, None]
+        col = jnp.arange(seq_k)[None, :]
+        s = jnp.where(col[None, None] <= row[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention(q, k, v, causal, sm_scale, kv_len):
+    if jax.default_backend() == "tpu":
+        return flash_attention(
+            q, k, v, causal=causal, sm_scale=sm_scale, kv_len=kv_len
+        )
+    return attention_reference(
+        q, k, v, causal=causal, sm_scale=sm_scale, kv_len=kv_len
+    )
+
+
+def _attention_fwd(q, k, v, causal, sm_scale, kv_len):
+    return _attention(q, k, v, causal, sm_scale, kv_len), (q, k, v)
+
+
+def _attention_bwd(causal, sm_scale, kv_len, res, g):
+    """Recompute backward (XLA): exact softmax-attention gradients."""
+    q, k, v = res
+    batch, num_q_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    group = num_q_heads // num_kv_heads
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+
+    kf = jnp.repeat(k, group, axis=1) if group > 1 else k
+    vf = jnp.repeat(v, group, axis=1) if group > 1 else v
+
+    qf32, kf32, vf32, gf32 = (x.astype(jnp.float32) for x in (q, kf, vf, g))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf32, kf32) * scale
+    if kv_len is not None and kv_len < seq_k:
+        col = jnp.arange(seq_k)[None, None, None, :]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if causal:
+        row = jnp.arange(seq_q)[:, None]
+        col = jnp.arange(seq_k)[None, :]
+        s = jnp.where(col[None, None] <= row[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf32, vf32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf32) * scale
+
+    if group > 1:
+        dk = dk.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(2)
+        dv = dv.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+) -> jax.Array:
+    """Framework-wide attention entry point ([B, H, S, D] layout).
+
+    Differentiable; uses the Pallas kernel on TPU forward, XLA elsewhere.
+    """
+    return _attention(q, k, v, causal, sm_scale, kv_len)

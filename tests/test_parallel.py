@@ -1,0 +1,107 @@
+"""Mesh construction and sharding rules on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gvl_tpu.config import load_preset
+from gvl_tpu.parallel import (
+    MeshManager,
+    build_mesh,
+    shard_pytree,
+)
+from gvl_tpu.parallel.sharding import LLM_RULES, ShardingRules, sharding_tree
+
+
+@pytest.fixture(scope="module")
+def devices():
+    return jax.devices()
+
+
+class TestMesh:
+    def test_eight_devices_available(self, devices):
+        assert len(devices) == 8
+
+    def test_exact_fit(self):
+        mesh = build_mesh(2, 4)
+        assert mesh.shape == {"data": 2, "model": 4}
+
+    def test_shrinks_to_fit(self):
+        mesh = build_mesh(4, 4)  # 16 requested, 8 available
+        assert mesh.shape["data"] * mesh.shape["model"] == 8
+        assert mesh.shape["model"] == 4  # model axis preserved
+
+    def test_single_device(self):
+        mm = MeshManager.single_device()
+        assert mm.num_devices == 1
+
+    def test_strict_raises(self):
+        with pytest.raises(ValueError):
+            build_mesh(3, 3, strict=True)
+
+    def test_from_preset(self):
+        mm = MeshManager.from_preset(load_preset("full"))
+        assert mm.data_size == 2 and mm.model_size == 4
+        assert "8" in mm.describe()
+
+    def test_pad_batch(self):
+        mm = MeshManager.from_preset(load_preset("full"))
+        assert mm.pad_batch(3) == 4
+        assert mm.pad_batch(4) == 4
+
+
+class TestShardingRules:
+    def test_llm_rules_match(self):
+        assert LLM_RULES.spec("model/layers_0/attention/q_proj/kernel") == P(None, "model")
+        assert LLM_RULES.spec("model/layers_0/attention/o_proj/kernel") == P("model", None)
+        assert LLM_RULES.spec("model/layers_0/mlp/down_proj/kernel") == P("model", None)
+        assert LLM_RULES.spec("model/layers_0/input_norm/scale") == P()
+
+    def test_first_match_wins(self):
+        rules = ShardingRules([(r"a/b", P("model")), (r"a", P("data"))])
+        assert rules.spec("a/b") == P("model")
+        assert rules.spec("a/c") == P("data")
+
+    def test_shard_pytree_places_leaves(self):
+        mesh = build_mesh(2, 4)
+        params = {
+            "attention": {"q_proj": {"kernel": jnp.zeros((64, 128))}},
+            "norm": {"scale": jnp.ones((64,))},
+        }
+        sharded = shard_pytree(params, mesh, LLM_RULES)
+        qk = sharded["attention"]["q_proj"]["kernel"]
+        assert qk.sharding.spec == P(None, "model")
+        # each model-shard holds 128/4 = 32 columns
+        shard_shapes = {s.data.shape for s in qk.addressable_shards}
+        assert shard_shapes == {(64, 32)}
+        assert sharded["norm"]["scale"].sharding.spec == P()
+
+    def test_non_divisible_axis_dropped(self):
+        mesh = build_mesh(2, 4)
+        params = {"attention": {"q_proj": {"kernel": jnp.zeros((64, 130))}}}
+        tree = sharding_tree(params, mesh, LLM_RULES)
+        assert tree["attention"]["q_proj"]["kernel"].spec == P()
+
+    def test_scan_stacked_params_right_aligned(self):
+        mesh = build_mesh(2, 4)
+        params = {"attention": {"q_proj": {"kernel": jnp.zeros((12, 64, 128))}}}
+        tree = sharding_tree(params, mesh, LLM_RULES)
+        assert tree["attention"]["q_proj"]["kernel"].spec == P(None, None, "model")
+
+    def test_data_parallel_matmul_executes(self):
+        """pjit a toy step over the 2x4 mesh and check it runs + matches."""
+        mesh = build_mesh(2, 4)
+        mm = MeshManager(mesh)
+        w = jnp.eye(16, dtype=jnp.float32) * 2.0
+        x = jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16)
+        xs = jax.device_put(x, mm.data_sharding(2))
+        ws = jax.device_put(w, mm.replicated_sharding())
+
+        @jax.jit
+        def step(x, w):
+            return x @ w
+
+        out = step(xs, ws)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
