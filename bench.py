@@ -1,14 +1,16 @@
 """Round benchmark: prints ONE JSON line for the driver.
 
-Current headline metric: fused flash-attention throughput on one chip,
-with vs_baseline = speedup over the XLA einsum attention path (the stand-in
-for the reference's flash-attn-2 dependency).  This will switch to
-perception fps/chip (SigLIP path) once the vision encoder lands.
+Headline metric: perception-encoder throughput — SigLIP2-so400m-patch14-384
+(the perception workhorse, 428M params) images/sec on one chip, bf16,
+batch 8.  ``vs_baseline`` is the fraction of the BASELINE.json target of
+300 perception fps/chip.
 
 Timing methodology: the remote-TPU tunnel makes per-call host timing
 unreliable (dispatch returns in ~20 us, a host readback costs a ~30 ms
-round trip), so kernels are chained K times inside one jitted lax.scan and
-the per-kernel time is the slope between two chain lengths.
+round trip), so the model is chained K times inside one jitted lax.scan
+with a carry-data dependence (otherwise XLA hoists the loop-invariant
+forward out of the scan) and per-call time is the slope between two chain
+lengths.
 """
 
 from __future__ import annotations
@@ -19,58 +21,59 @@ import time
 import jax
 import jax.numpy as jnp
 
+TARGET_FPS_PER_CHIP = 300.0  # BASELINE.md: >=300 fps/chip on v5e
+BATCH = 8
 
-def timed_chain(fn, init, reps: int, warm: int = 1, iters: int = 3) -> float:
-    """Mean wall time of a jitted scan chaining ``fn`` ``reps`` times."""
+
+def chain_seconds(apply_fn, params, x, reps: int, iters: int = 2) -> float:
+    """Wall time of ``reps`` chained forwards inside one jit."""
 
     @jax.jit
-    def run(x):
+    def runner(params, x):
         def body(carry, _):
-            return fn(carry), ()
+            out = apply_fn(params, x + carry)
+            return (out.mean() * 1e-6).astype(x.dtype), ()
 
-        out, _ = jax.lax.scan(body, x, None, length=reps)
-        return out.astype(jnp.float32).sum()
+        acc, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=reps)
+        return acc.astype(jnp.float32)
 
-    for _ in range(warm):
-        float(run(init))
+    float(runner(params, x))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(run(init))
+        float(runner(params, x))
     return (time.perf_counter() - t0) / iters
 
 
-def per_call_seconds(fn, init, lo: int = 10, hi: int = 110) -> float:
-    """Per-invocation seconds via the (hi - lo) chain-length slope."""
-    return (timed_chain(fn, init, hi) - timed_chain(fn, init, lo)) / (hi - lo)
-
-
 def main() -> None:
-    from gvl_tpu.ops.attention import attention_reference, flash_attention
+    from gvl_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
 
-    b, h, s, d = 4, 16, 2048, 128
-    key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (b, h, s, d), jnp.bfloat16)
-    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, s, d), jnp.bfloat16)
-    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, s, d), jnp.bfloat16)
+    cfg = SigLIPVisionConfig.so400m()
+    tower = SigLIPVisionTower(cfg)
+    rng = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    on_tpu = jax.default_backend() == "tpu"
-    fused_fn = flash_attention if on_tpu else attention_reference
+    params = jax.jit(tower.init)(rng, jnp.ones((1, 384, 384, 3), dtype))
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    x = jax.random.normal(rng, (BATCH, 384, 384, 3), dtype)
 
-    t_fused = per_call_seconds(
-        lambda a: fused_fn(a, k, v, causal=True).astype(a.dtype), q
-    )
-    t_ref = per_call_seconds(
-        lambda a: attention_reference(a, k, v, causal=True).astype(a.dtype), q
-    )
+    apply_fn = lambda p, xb: tower.apply(p, xb, pool=True)["pooled"]
 
-    causal_flops = 4 * b * h * s * s * d * 0.5
-    tflops = causal_flops / t_fused / 1e12
+    if jax.default_backend() == "tpu":
+        lo, hi = 4, 24
+    else:  # keep the CPU fallback fast enough to emit a line
+        lo, hi = 1, 3
+
+    per_batch = (
+        chain_seconds(apply_fn, params, x, hi)
+        - chain_seconds(apply_fn, params, x, lo)
+    ) / (hi - lo)
+    fps = BATCH / per_batch
 
     print(json.dumps({
-        "metric": "flash_attention_causal_tflops",
-        "value": round(tflops, 2),
-        "unit": "TFLOP/s (useful, b4 h16 s2048 d128 bf16)",
-        "vs_baseline": round(t_ref / t_fused, 3),
+        "metric": "siglip_so400m_images_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": f"img/s (384x384 bf16, batch {BATCH}, 1 chip)",
+        "vs_baseline": round(fps / TARGET_FPS_PER_CHIP, 3),
     }))
 
 

@@ -1,0 +1,28 @@
+"""Audio stack: decode, mel frontend, ASR, non-speech event detection."""
+
+from gvl_tpu.audio.processor import (
+    AudioAnalysisResult,
+    AudioConfig,
+    AudioEvent,
+    AudioEventParser,
+    AudioEventType,
+    AudioPreprocessor,
+    AudioProcessor,
+    TranscriptionSegment,
+    create_audio_processor,
+)
+from gvl_tpu.audio.mel import log_mel_spectrogram, mel_filterbank
+
+__all__ = [
+    "AudioEventType",
+    "TranscriptionSegment",
+    "AudioEvent",
+    "AudioAnalysisResult",
+    "AudioConfig",
+    "AudioPreprocessor",
+    "AudioEventParser",
+    "AudioProcessor",
+    "create_audio_processor",
+    "mel_filterbank",
+    "log_mel_spectrogram",
+]

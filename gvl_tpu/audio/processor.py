@@ -1,0 +1,446 @@
+"""Audio analysis: ASR + non-speech event detection over chunked audio.
+
+The host side loads/decodes audio (stdlib WAV reader → scipy resample →
+zeros ladder; ffmpeg extraction gated on availability), chunks it into
+30 s windows with 0.5 s overlap, and the TPU side runs the Whisper JAX
+model for ASR plus a spectral heuristic event detector over the log-mel.
+Without ASR weights, a deterministic fake backend keeps the full pipeline
+(events, timeline adapters, benchmarks) runnable — the formalized
+placeholder pattern.  Parity surface: reference
+`/root/reference/src/audio/qwen_audio_processor.py`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import shutil
+import subprocess
+import tempfile
+import wave
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class AudioEventType(Enum):
+    SPEECH = "speech"
+    MUSIC = "music"
+    EFFECT = "effect"
+    AMBIENT = "ambient"
+    UI = "ui"
+    SILENCE = "silence"
+
+
+@dataclass
+class TranscriptionSegment:
+    text: str
+    start_time: float
+    end_time: float
+    confidence: float = 1.0
+    speaker_id: Optional[str] = None
+
+    @property
+    def duration(self) -> float:
+        return self.end_time - self.start_time
+
+    def to_timeline_entry(self) -> str:
+        speaker = f"[{self.speaker_id}]" if self.speaker_id else "[Speech]"
+        return f'{speaker}: "{self.text}"'
+
+
+@dataclass
+class AudioEvent:
+    event_type: AudioEventType
+    description: str
+    start_time: float
+    end_time: float
+    confidence: float = 1.0
+    intensity: float = 0.5
+    metadata: dict = field(default_factory=dict)
+
+    @property
+    def duration(self) -> float:
+        return self.end_time - self.start_time
+
+    def to_timeline_entry(self) -> str:
+        return f"(Audio: {self.description})"
+
+
+@dataclass
+class AudioAnalysisResult:
+    start_time: float
+    end_time: float
+    transcriptions: list[TranscriptionSegment] = field(default_factory=list)
+    events: list[AudioEvent] = field(default_factory=list)
+    dominant_type: AudioEventType = AudioEventType.SILENCE
+
+    @property
+    def has_speech(self) -> bool:
+        return len(self.transcriptions) > 0
+
+    @property
+    def has_events(self) -> bool:
+        return len(self.events) > 0
+
+    def get_timeline_entries(self) -> list[tuple[float, str]]:
+        entries = [
+            (seg.start_time, seg.to_timeline_entry())
+            for seg in self.transcriptions
+        ]
+        entries += [(ev.start_time, ev.to_timeline_entry()) for ev in self.events]
+        entries.sort(key=lambda x: x[0])
+        return entries
+
+
+@dataclass
+class AudioConfig:
+    sample_rate: int = 16000
+    max_audio_length: float = 30.0  # seconds per chunk
+    chunk_overlap: float = 0.5
+    enable_transcription: bool = True
+    enable_event_detection: bool = True
+    silence_rms_threshold: float = 1e-3
+    event_energy_threshold: float = 3.0  # x median energy → effect
+
+
+class AudioPreprocessor:
+    """Host-side decode / resample / chunk."""
+
+    def __init__(self, config: Optional[AudioConfig] = None):
+        self.config = config or AudioConfig()
+
+    def load_audio(self, path: str | Path) -> tuple[np.ndarray, int]:
+        """WAV (stdlib) → scipy fallback → zeros. Returns (mono f32, rate)."""
+        path = Path(path)
+        try:
+            if path.suffix.lower() == ".wav":
+                return self._read_wav(path)
+            import scipy.io.wavfile as sciwav  # non-.wav PCM container
+
+            rate, data = sciwav.read(path)
+            return self._to_mono_f32(data), rate
+        except Exception as exc:
+            logger.warning("audio load failed for %s: %s — returning silence",
+                           path, exc)
+            return np.zeros(self.config.sample_rate, np.float32), self.config.sample_rate
+
+    @staticmethod
+    def _read_wav(path: Path) -> tuple[np.ndarray, int]:
+        with wave.open(str(path), "rb") as wf:
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            channels = wf.getnchannels()
+            raw = wf.readframes(n)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        data = np.frombuffer(raw, dtype=dtype)
+        if channels > 1:
+            data = data.reshape(-1, channels)
+        return AudioPreprocessor._to_mono_f32(data), rate
+
+    @staticmethod
+    def _to_mono_f32(data: np.ndarray) -> np.ndarray:
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        if data.dtype == np.uint8:
+            return (data.astype(np.float32) - 128.0) / 128.0
+        if np.issubdtype(data.dtype, np.integer):
+            return data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+        return data.astype(np.float32)
+
+    def resample(self, audio: np.ndarray, rate: int) -> np.ndarray:
+        """Polyphase resample to the configured rate."""
+        target = self.config.sample_rate
+        if rate == target:
+            return audio
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(rate, target)
+        return resample_poly(audio, target // g, rate // g).astype(np.float32)
+
+    def extract_from_video(self, video_path: str | Path) -> tuple[np.ndarray, int]:
+        """ffmpeg demux when present; silence otherwise."""
+        if shutil.which("ffmpeg") is None:
+            logger.warning("ffmpeg unavailable; cannot demux %s", video_path)
+            return np.zeros(self.config.sample_rate, np.float32), self.config.sample_rate
+        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+            cmd = [
+                "ffmpeg", "-y", "-i", str(video_path), "-vn",
+                "-acodec", "pcm_s16le", "-ar", str(self.config.sample_rate),
+                "-ac", "1", tmp.name,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True)
+            return self._read_wav(Path(tmp.name))
+
+    def chunk_audio(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        chunk_duration: Optional[float] = None,
+        overlap: Optional[float] = None,
+    ) -> list[tuple[np.ndarray, float, float]]:
+        """Overlapping fixed-length chunks, zero-padded at the tail.
+
+        Returns (chunk, start_time, end_time) with end_time at the real
+        (unpadded) end.
+        """
+        duration = chunk_duration or self.config.max_audio_length
+        overlap = self.config.chunk_overlap if overlap is None else overlap
+        chunk_n = int(duration * sample_rate)
+        stride = chunk_n - int(overlap * sample_rate)
+        chunks = []
+        pos = 0
+        while pos < len(audio):
+            end = min(pos + chunk_n, len(audio))
+            chunk = audio[pos:end]
+            if len(chunk) < chunk_n:
+                chunk = np.pad(chunk, (0, chunk_n - len(chunk)))
+            chunks.append((chunk, pos / sample_rate, end / sample_rate))
+            pos += stride
+        return chunks
+
+
+class AudioEventParser:
+    """Keyword classifier: text description → typed audio events."""
+
+    EVENT_KEYWORDS = {
+        AudioEventType.MUSIC: ["music", "melody", "song", "tune", "beat", "rhythm"],
+        AudioEventType.EFFECT: ["explosion", "crash", "bang", "hit", "impact", "shot"],
+        AudioEventType.AMBIENT: ["wind", "rain", "water", "birds", "traffic", "crowd"],
+        AudioEventType.UI: ["click", "beep", "notification", "chime", "alert"],
+    }
+
+    def parse_description(
+        self, description: str, start_time: float, end_time: float
+    ) -> list[AudioEvent]:
+        desc = description.lower()
+        events = []
+        for event_type, keywords in self.EVENT_KEYWORDS.items():
+            if any(k in desc for k in keywords):
+                events.append(
+                    AudioEvent(event_type, description, start_time, end_time,
+                               confidence=0.8)
+                )
+        if not events and description and "silence" not in desc:
+            events.append(
+                AudioEvent(AudioEventType.AMBIENT, description, start_time,
+                           end_time, confidence=0.5)
+            )
+        return events
+
+
+class DeterministicFakeASR:
+    """Hash-seeded ASR stand-in with the same (text, confidence) interface."""
+
+    _WORDS = ("the", "boss", "attack", "watch", "out", "go", "left", "right",
+              "heal", "now", "enemy", "down", "nice", "shot", "loot", "run")
+
+    def __call__(self, chunk: np.ndarray, sample_rate: int) -> tuple[str, float]:
+        rms = float(np.sqrt(np.mean(chunk ** 2)))
+        if rms < 1e-4:
+            return "", 0.0
+        digest = hashlib.blake2b(chunk[: sample_rate].tobytes(),
+                                 digest_size=8).digest()
+        rng = np.random.default_rng(int.from_bytes(digest, "little"))
+        n_words = int(rng.integers(2, 7))
+        return " ".join(rng.choice(self._WORDS, n_words)), 0.5
+
+
+class WhisperJaxASR:
+    """Whisper JAX backend: mel → greedy decode → text via HF tokenizer."""
+
+    def __init__(self, model, variables, tokenizer, max_new_tokens: int = 128):
+        import jax
+        import jax.numpy as jnp
+
+        from gvl_tpu.audio.mel import log_mel_spectrogram
+        from gvl_tpu.models.whisper import greedy_decode
+
+        self.tokenizer = tokenizer
+        cfg = model.config
+        # <|startoftranscript|><|en|><|transcribe|><|notimestamps|>
+        prompt = tokenizer.convert_tokens_to_ids(
+            ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+             "<|notimestamps|>"]
+        )
+        self._prompt = jnp.asarray([prompt], jnp.int32)
+
+        def run(wav):
+            mel = log_mel_spectrogram(wav)[None]
+            return greedy_decode(model, variables, mel, self._prompt,
+                                 max_new_tokens=max_new_tokens)
+
+        self._run = jax.jit(run)
+        self._eos = cfg.eos_token_id
+
+    def __call__(self, chunk: np.ndarray, sample_rate: int) -> tuple[str, float]:
+        import jax.numpy as jnp
+
+        tokens = np.asarray(self._run(jnp.asarray(chunk)))[0]
+        text_ids = [
+            int(t) for t in tokens[self._prompt.shape[1]:] if t != self._eos
+        ]
+        return self.tokenizer.decode(text_ids, skip_special_tokens=True).strip(), 0.9
+
+
+class AudioProcessor:
+    """Dual-mode audio analysis: ASR + event detection.
+
+    >>> proc = AudioProcessor()        # fake ASR, heuristic events
+    >>> result = proc.analyze_audio(wav, 16000)
+    >>> result.transcriptions, result.events
+    """
+
+    def __init__(
+        self,
+        config: Optional[AudioConfig] = None,
+        asr_backend: Optional[Callable] = None,
+    ):
+        self.config = config or AudioConfig()
+        self.preprocessor = AudioPreprocessor(self.config)
+        self.event_parser = AudioEventParser()
+        self.asr = asr_backend or DeterministicFakeASR()
+
+    # ---------------------------------------------------------------- ASR
+
+    def transcribe(
+        self, audio: np.ndarray, sample_rate: int, offset: float = 0.0
+    ) -> list[TranscriptionSegment]:
+        segments = []
+        for chunk, start, end in self.preprocessor.chunk_audio(audio, sample_rate):
+            text, conf = self.asr(chunk, sample_rate)
+            if text:
+                segments.append(
+                    TranscriptionSegment(
+                        text=text,
+                        start_time=offset + start,
+                        end_time=offset + end,
+                        confidence=conf,
+                    )
+                )
+        return segments
+
+    # -------------------------------------------------------- event detect
+
+    def detect_audio_events(
+        self, audio: np.ndarray, sample_rate: int, offset: float = 0.0
+    ) -> list[AudioEvent]:
+        """Spectral-heuristic events over 1 s windows.
+
+        Loud wideband transients → "impact sound" (EFFECT); sustained
+        tonal energy → "background music" (MUSIC); moderate noise →
+        "ambient noise" (AMBIENT).
+        """
+        win = sample_rate
+        events: list[AudioEvent] = []
+        n = len(audio) // win
+        if n == 0:
+            return events
+        frames = audio[: n * win].reshape(n, win)
+        rms = np.sqrt((frames ** 2).mean(axis=1))
+        median = max(float(np.median(rms)), 1e-8)
+
+        spectra = np.abs(np.fft.rfft(frames, axis=1))
+        centroid = (
+            spectra * np.arange(spectra.shape[1])[None, :]
+        ).sum(axis=1) / np.maximum(spectra.sum(axis=1), 1e-8)
+        flatness = np.exp(
+            np.mean(np.log(np.maximum(spectra, 1e-10)), axis=1)
+        ) / np.maximum(spectra.mean(axis=1), 1e-10)
+
+        for i in range(n):
+            t0, t1 = offset + i, offset + i + 1
+            loudness = float(np.clip(rms[i] / (4 * median), 0, 1))
+            if rms[i] < self.config.silence_rms_threshold:
+                continue
+            if rms[i] > self.config.event_energy_threshold * median:
+                events.append(AudioEvent(
+                    AudioEventType.EFFECT, "loud impact sound", t0, t1,
+                    confidence=0.7, intensity=loudness,
+                ))
+            elif flatness[i] < 0.1 and centroid[i] > 10:
+                events.append(AudioEvent(
+                    AudioEventType.MUSIC, "background music", t0, t1,
+                    confidence=0.6, intensity=loudness,
+                ))
+            elif rms[i] > 2 * median:
+                events.append(AudioEvent(
+                    AudioEventType.AMBIENT, "ambient noise", t0, t1,
+                    confidence=0.5, intensity=loudness,
+                ))
+        return self._merge_adjacent(events)
+
+    @staticmethod
+    def _merge_adjacent(events: list[AudioEvent]) -> list[AudioEvent]:
+        """Collapse runs of same-type events into spans."""
+        merged: list[AudioEvent] = []
+        for ev in events:
+            if (
+                merged
+                and merged[-1].event_type is ev.event_type
+                and abs(merged[-1].end_time - ev.start_time) < 1e-6
+            ):
+                merged[-1].end_time = ev.end_time
+                merged[-1].intensity = max(merged[-1].intensity, ev.intensity)
+            else:
+                merged.append(ev)
+        return merged
+
+    # ------------------------------------------------------------- analyze
+
+    def analyze_audio(
+        self, audio: np.ndarray, sample_rate: int, offset: float = 0.0
+    ) -> AudioAnalysisResult:
+        if sample_rate != self.config.sample_rate:
+            audio = self.preprocessor.resample(audio, sample_rate)
+            sample_rate = self.config.sample_rate
+        result = AudioAnalysisResult(
+            start_time=offset, end_time=offset + len(audio) / sample_rate
+        )
+        if self.config.enable_transcription:
+            result.transcriptions = self.transcribe(audio, sample_rate, offset)
+        if self.config.enable_event_detection:
+            result.events = self.detect_audio_events(audio, sample_rate, offset)
+        result.dominant_type = self._dominant(result)
+        return result
+
+    def analyze_video_audio(self, video_path: str | Path) -> AudioAnalysisResult:
+        audio, rate = self.preprocessor.extract_from_video(video_path)
+        return self.analyze_audio(audio, rate)
+
+    @staticmethod
+    def _dominant(result: AudioAnalysisResult) -> AudioEventType:
+        if result.has_speech:
+            return AudioEventType.SPEECH
+        if result.events:
+            counts: dict[AudioEventType, float] = {}
+            for ev in result.events:
+                counts[ev.event_type] = counts.get(ev.event_type, 0) + ev.duration
+            return max(counts, key=counts.get)
+        return AudioEventType.SILENCE
+
+
+def create_audio_processor(
+    whisper_checkpoint: Optional[str] = None,
+    config: Optional[AudioConfig] = None,
+) -> AudioProcessor:
+    """Factory: Whisper JAX backend when a checkpoint dir is given."""
+    if whisper_checkpoint and Path(whisper_checkpoint).exists():
+        from transformers import WhisperTokenizer
+
+        from gvl_tpu.models.whisper import load_hf_whisper
+
+        model, variables = load_hf_whisper(whisper_checkpoint)
+        tokenizer = WhisperTokenizer.from_pretrained(whisper_checkpoint)
+        return AudioProcessor(
+            config, asr_backend=WhisperJaxASR(model, variables, tokenizer)
+        )
+    return AudioProcessor(config)

@@ -1,0 +1,338 @@
+"""Region semantic encoding: segmentation masks → 1152-dim embeddings.
+
+The host side extracts mask regions (bbox expanded 10%), resizes them
+aspect-preserved onto a fixed canvas, and the JAX SigLIP tower encodes the
+whole batch in one XLA program.  TPU-first deltas from the reference
+(`/root/reference/src/perception/siglip_semantic_encoder.py`):
+
+- regions land on ONE static canvas (base_resolution²) instead of
+  per-batch max padding, so the encoder compiles exactly once;
+- batch sizes snap to fixed buckets;
+- the encoder backend is pluggable: the JAX tower when weights are
+  available, otherwise a deterministic hash-seeded fake with identical
+  shapes (the formalized placeholder pattern, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+PATCH = 14
+
+
+@dataclass
+class NaFlexConfig:
+    """Aspect-preserving ("NaFlex") resize and encoder settings."""
+
+    model_name: str = "google/siglip2-so400m-patch14-384"
+    dtype: str = "bfloat16"
+    base_resolution: int = 384
+    min_resolution: int = 128
+    max_resolution: int = 768
+    preserve_aspect_ratio: bool = True
+    embedding_dim: int = 1152
+    use_cls_token: bool = True
+    pool_strategy: str = "mean"  # 'cls' (MAP-pooled), 'mean', 'max'
+    batch_size: int = 16
+    # image normalization (SigLIP processors use 0.5/0.5)
+    image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
+
+
+class AspectPreservingResizer:
+    """Computes patch-aligned target sizes preserving aspect ratio."""
+
+    def __init__(self, config: NaFlexConfig):
+        self.config = config
+
+    def compute_optimal_size(self, original_h: int, original_w: int) -> tuple[int, int]:
+        """(target_h, target_w): aspect preserved, bounded, multiple of 14."""
+        cfg = self.config
+        aspect = original_w / original_h
+        base = cfg.base_resolution
+        if aspect >= 1:
+            target_w = min(cfg.max_resolution, max(cfg.min_resolution, base))
+            target_h = max(cfg.min_resolution, int(target_w / aspect))
+        else:
+            target_h = min(cfg.max_resolution, max(cfg.min_resolution, base))
+            target_w = max(cfg.min_resolution, int(target_h * aspect))
+        target_h = (target_h // PATCH) * PATCH
+        target_w = (target_w // PATCH) * PATCH
+        return max(PATCH, target_h), max(PATCH, target_w)
+
+    def resize_to_canvas(
+        self, image: np.ndarray, canvas: int
+    ) -> tuple[np.ndarray, float]:
+        """Resize into a canvas×canvas frame (aspect preserved, zero pad).
+
+        Returns (uint8 [canvas, canvas, 3], aspect_ratio).
+        """
+        from PIL import Image
+
+        h, w = image.shape[:2]
+        aspect = w / h if h else 1.0
+        scale = canvas / max(h, w)
+        nh = max(1, min(canvas, int(round(h * scale))))
+        nw = max(1, min(canvas, int(round(w * scale))))
+        resized = np.asarray(
+            Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
+        )
+        out = np.zeros((canvas, canvas, 3), dtype=np.uint8)
+        out[:nh, :nw] = resized
+        return out, aspect
+
+
+class RegionExtractor:
+    """Crops mask bounding boxes (10% expanded) out of frames."""
+
+    def __init__(self, config: NaFlexConfig):
+        self.config = config
+        self.resizer = AspectPreservingResizer(config)
+
+    def extract_masked_region(
+        self,
+        frame: np.ndarray,
+        mask: np.ndarray,
+        expand_ratio: float = 0.1,
+    ) -> tuple[np.ndarray, tuple[int, int, int, int]]:
+        """(cropped uint8 region, xyxy bbox). Empty mask → center crop."""
+        ys, xs = np.where(mask)
+        if len(xs) == 0:
+            h, w = frame.shape[:2]
+            cx, cy = w // 2, h // 2
+            size = min(h, w) // 4
+            bbox = (cx - size, cy - size, cx + size, cy + size)
+        else:
+            x_min, x_max = int(xs.min()), int(xs.max())
+            y_min, y_max = int(ys.min()), int(ys.max())
+            bw, bh = x_max - x_min, y_max - y_min
+            bbox = (
+                max(0, int(x_min - bw * expand_ratio)),
+                max(0, int(y_min - bh * expand_ratio)),
+                min(frame.shape[1], int(x_max + bw * expand_ratio)),
+                min(frame.shape[0], int(y_max + bh * expand_ratio)),
+            )
+        x1, y1, x2, y2 = bbox
+        return frame[y1:y2, x1:x2], bbox
+
+    def prepare(self, region: np.ndarray) -> tuple[np.ndarray, float]:
+        """Region → normalized float32 [canvas, canvas, 3] + aspect."""
+        canvas, aspect = self.resizer.resize_to_canvas(
+            region, self.config.base_resolution
+        )
+        x = canvas.astype(np.float32) / 255.0
+        mean = np.asarray(self.config.image_mean, np.float32)
+        std = np.asarray(self.config.image_std, np.float32)
+        return (x - mean) / std, aspect
+
+
+@dataclass
+class SemanticEmbedding:
+    """One encoded region."""
+
+    embedding: np.ndarray
+    entity_id: str
+    confidence: float = 1.0
+    original_bbox: Optional[tuple[int, int, int, int]] = None
+    aspect_ratio: float = 1.0
+    metadata: dict = field(default_factory=dict)
+
+
+class DeterministicFakeBackend:
+    """Hash-seeded stand-in encoder: same interface/shapes as the JAX tower.
+
+    Embeddings are a deterministic function of the pixel content, so
+    identical regions embed identically and cosine retrieval over fakes
+    behaves consistently across runs — the formalized version of the
+    reference's placeholder pattern.
+    """
+
+    def __init__(self, dim: int = 1152):
+        self.dim = dim
+
+    def __call__(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        n = batch.shape[0]
+        seq = np.zeros((n, 4, self.dim), dtype=np.float32)
+        for i in range(n):
+            digest = hashlib.blake2b(
+                np.ascontiguousarray(batch[i]).tobytes(), digest_size=8
+            ).digest()
+            rng = np.random.default_rng(int.from_bytes(digest, "little"))
+            seq[i] = rng.standard_normal((4, self.dim)).astype(np.float32)
+        seq /= np.linalg.norm(seq, axis=-1, keepdims=True)
+        return seq, seq.mean(axis=1)
+
+
+class JaxSigLIPBackend:
+    """The real encoder: jitted SigLIP tower over static-shape batches."""
+
+    def __init__(self, tower, variables, dtype: str = "bfloat16"):
+        import jax
+        import jax.numpy as jnp
+
+        self.tower = tower
+        self.variables = variables
+        self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        @jax.jit
+        def run(variables, pixels):
+            out = tower.apply(variables, pixels, pool=True)
+            return out["last_hidden_state"], out["pooled"]
+
+        self._run = run
+
+    def __call__(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        seq, pooled = self._run(self.variables, jnp.asarray(batch, self._dtype))
+        return np.asarray(seq, np.float32), np.asarray(pooled, np.float32)
+
+
+class SigLIPSemanticEncoder:
+    """Mask regions → semantic embeddings (the SAM→SigLIP bridge).
+
+    >>> encoder = SigLIPSemanticEncoder()   # fake backend, no weights
+    >>> embs = encoder.encode_masked_regions(frame, [("e1", mask)])
+    >>> embs[0].embedding.shape             # (1152,)
+    """
+
+    def __init__(
+        self,
+        config: Optional[NaFlexConfig] = None,
+        backend: Optional[Callable] = None,
+        projection: Optional[Callable] = None,
+    ):
+        self.config = config or NaFlexConfig()
+        self.region_extractor = RegionExtractor(self.config)
+        self.backend = backend or DeterministicFakeBackend(self.config.embedding_dim)
+        # optional extra REN-style projection head (reference :416-420)
+        self.projection = projection
+
+    @classmethod
+    def from_hf_checkpoint(cls, path: str, config: Optional[NaFlexConfig] = None):
+        from gvl_tpu.models.siglip import load_hf_siglip
+
+        config = config or NaFlexConfig()
+        tower, variables = load_hf_siglip(path)
+        return cls(config, backend=JaxSigLIPBackend(tower, variables, config.dtype))
+
+    # ------------------------------------------------------------ encoding
+
+    def _pool(self, sequence: np.ndarray, pooled: np.ndarray) -> np.ndarray:
+        strategy = self.config.pool_strategy
+        if strategy == "mean":
+            return sequence.mean(axis=1)
+        if strategy == "max":
+            return sequence.max(axis=1)
+        return pooled  # 'cls' → MAP-head pooled output
+
+    def _bucket_pad(self, n: int) -> int:
+        for b in (1, 4, 8, self.config.batch_size):
+            if n <= b:
+                return b
+        return ((n + self.config.batch_size - 1)
+                // self.config.batch_size) * self.config.batch_size
+
+    def encode_image(self, image) -> np.ndarray:
+        """Encode one full image to (embedding_dim,)."""
+        arr = np.asarray(image)
+        prepared, _ = self.region_extractor.prepare(arr)
+        seq, pooled = self.backend(prepared[None])
+        return self._pool(seq, pooled)[0]
+
+    def encode_masked_regions(
+        self,
+        frame: np.ndarray,
+        masks: Sequence[tuple[str, np.ndarray]],
+    ) -> list[SemanticEmbedding]:
+        """Encode every (entity_id, mask) region in bucketed batches."""
+        if not masks:
+            return []
+        prepared, metadata = [], []
+        for entity_id, mask in masks:
+            region, bbox = self.region_extractor.extract_masked_region(frame, mask)
+            tensor, aspect = self.region_extractor.prepare(region)
+            prepared.append(tensor)
+            metadata.append(
+                {"entity_id": entity_id, "bbox": bbox, "aspect_ratio": aspect}
+            )
+
+        out: list[SemanticEmbedding] = []
+        step = self.config.batch_size
+        for i in range(0, len(prepared), step):
+            chunk = prepared[i:i + step]
+            n = len(chunk)
+            padded_n = self._bucket_pad(n)
+            batch = np.stack(
+                chunk + [np.zeros_like(chunk[0])] * (padded_n - n)
+            )
+            seq, pooled = self.backend(batch)
+            embeddings = self._pool(seq, pooled)[:n]
+            if self.projection is not None:
+                embeddings = np.asarray(self.projection(embeddings))
+            for emb, meta in zip(embeddings, metadata[i:i + step]):
+                out.append(
+                    SemanticEmbedding(
+                        embedding=np.asarray(emb),
+                        entity_id=meta["entity_id"],
+                        confidence=1.0,
+                        original_bbox=meta["bbox"],
+                        aspect_ratio=meta["aspect_ratio"],
+                    )
+                )
+        return out
+
+    def encode_with_context(
+        self,
+        frame: np.ndarray,
+        mask: np.ndarray,
+        context_radius: int = 50,
+    ) -> tuple[SemanticEmbedding, SemanticEmbedding]:
+        """Encode the region and its dilated surroundings separately."""
+        import scipy.ndimage as ndi
+
+        region = self.encode_masked_regions(frame, [("region", mask)])[0]
+        dilated = ndi.binary_dilation(mask, iterations=max(1, context_radius // 3))
+        context_mask = dilated & ~mask.astype(bool)
+        context = self.encode_masked_regions(frame, [("context", context_mask)])[0]
+        return region, context
+
+    # ---------------------------------------------------------- similarity
+
+    @staticmethod
+    def compute_similarity(emb1: SemanticEmbedding, emb2: SemanticEmbedding) -> float:
+        a = emb1.embedding.astype(np.float64)
+        b = emb2.embedding.astype(np.float64)
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        return float(a @ b / denom) if denom else 0.0
+
+    def find_similar_regions(
+        self,
+        query: SemanticEmbedding,
+        candidates: Sequence[SemanticEmbedding],
+        top_k: int = 5,
+    ) -> list[tuple[SemanticEmbedding, float]]:
+        scored = [(c, self.compute_similarity(query, c)) for c in candidates]
+        scored.sort(key=lambda t: t[1], reverse=True)
+        return scored[:top_k]
+
+
+def create_siglip_encoder(
+    model_name: str = "google/siglip2-so400m-patch14-384",
+    preserve_aspect_ratio: bool = True,
+    checkpoint_path: Optional[str] = None,
+) -> SigLIPSemanticEncoder:
+    """Factory: real JAX backend when a checkpoint path is given, else fake."""
+    config = NaFlexConfig(
+        model_name=model_name, preserve_aspect_ratio=preserve_aspect_ratio
+    )
+    if checkpoint_path:
+        return SigLIPSemanticEncoder.from_hf_checkpoint(checkpoint_path, config)
+    return SigLIPSemanticEncoder(config)
