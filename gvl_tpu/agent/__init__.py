@@ -13,6 +13,19 @@ from gvl_tpu.agent.tools import ToolCall, ToolCallParser
 from gvl_tpu.agent.trigger import TriggerDetector, TriggerEvent
 from gvl_tpu.agent.temporal_context import TemporalContextManager
 from gvl_tpu.agent.retriever import HashingTextEmbedder, TimelineRetriever
+from gvl_tpu.agent.core import (
+    ReasoningCore,
+    TemplateFakeBackend,
+    VisualInputProcessor,
+    create_reasoning_core,
+)
+from gvl_tpu.agent.loop import PerceptionReasoningLoop, create_perception_loop
+from gvl_tpu.agent.search import (
+    GameDetector,
+    GameKnowledgeSearcher,
+    SearchCache,
+    create_search_enhanced_system_prompt,
+)
 
 __all__ = [
     "ReasoningCoreConfig",
@@ -27,4 +40,14 @@ __all__ = [
     "TemporalContextManager",
     "HashingTextEmbedder",
     "TimelineRetriever",
+    "ReasoningCore",
+    "TemplateFakeBackend",
+    "VisualInputProcessor",
+    "create_reasoning_core",
+    "PerceptionReasoningLoop",
+    "create_perception_loop",
+    "GameKnowledgeSearcher",
+    "GameDetector",
+    "SearchCache",
+    "create_search_enhanced_system_prompt",
 ]

@@ -1,0 +1,469 @@
+"""The reasoning core: retrieval → prompt assembly → generation → scoring.
+
+Equivalent of the reference's ``QwenVLCore``
+(`/root/reference/src/agent_core/qwen_reasoning_core.py:1651-2532`) with a
+pluggable chat backend:
+
+- :class:`Qwen3ChatBackend` drives the JAX Qwen3 engine (streaming KV-cache
+  decode) with a Qwen chat template and REAL multimodal embedding
+  injection — projected perception tokens enter ``inputs_embeds`` rather
+  than only text placeholders (the reference only describes them as text,
+  :2816-2848);
+- :class:`TemplateFakeBackend` is the deterministic no-weights stand-in:
+  it produces a well-formed **Reasoning:**/**Answer:** response citing real
+  timestamps from the supplied context, so the full pipeline and
+  benchmarks run anywhere.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Iterator, Optional, Protocol, Union
+
+import numpy as np
+
+from gvl_tpu.agent.config import ReasoningCoreConfig
+from gvl_tpu.agent.confidence import ConfidenceScorer
+from gvl_tpu.agent.conversation import ConversationHistory
+from gvl_tpu.agent.retriever import TimelineRetriever
+from gvl_tpu.agent.tools import ToolCallParser
+
+logger = logging.getLogger(__name__)
+
+
+class VisualInputProcessor:
+    """Dynamic-resolution frame dicts + region-token text (reference
+    :1572-1644)."""
+
+    def __init__(self, config: ReasoningCoreConfig):
+        self.config = config
+
+    def process_frame(self, image: Any, detail_level: str = "auto") -> dict:
+        if detail_level == "low":
+            min_pix, max_pix = 128 * 32 * 32, 256 * 32 * 32
+        elif detail_level == "high":
+            min_pix, max_pix = 512 * 32 * 32, 1024 * 32 * 32
+        else:
+            min_pix, max_pix = self.config.min_pixels, self.config.max_pixels
+        return {
+            "type": "image",
+            "image": image,
+            "min_pixels": min_pix,
+            "max_pixels": max_pix,
+        }
+
+    @staticmethod
+    def process_region_tokens(regions: list[dict]) -> str:
+        if not regions:
+            return ""
+        lines = ["Detected regions in frame:"]
+        for i, region in enumerate(regions):
+            label = region.get("label", f"region_{i}")
+            bbox = region.get("bbox", [])
+            conf = region.get("confidence", 0.0)
+            if bbox:
+                lines.append(f"  - {label}: bbox={bbox}, confidence={conf:.2f}")
+            else:
+                lines.append(f"  - {label}: confidence={conf:.2f}")
+        return "\n".join(lines)
+
+
+class ChatBackend(Protocol):
+    def stream(
+        self,
+        messages: list[dict],
+        config: ReasoningCoreConfig,
+        inputs_embeds_prefix: Optional[np.ndarray] = None,
+    ) -> Iterator[str]: ...
+
+
+def _messages_text(messages: list[dict]) -> str:
+    chunks = []
+    for message in messages:
+        content = message.get("content", "")
+        if isinstance(content, str):
+            chunks.append(content)
+        else:
+            chunks.extend(
+                part.get("text", "") for part in content
+                if isinstance(part, dict) and part.get("type") == "text"
+            )
+    return "\n".join(chunks)
+
+
+class TemplateFakeBackend:
+    """Deterministic, context-grounded response generator (no weights)."""
+
+    def stream(self, messages, config, inputs_embeds_prefix=None):
+        text = _messages_text(messages)
+        timestamps = re.findall(r"\[(\d{2}:\d{2})\]", text)
+        question_match = re.search(r"## Question\n(.+)", text)
+        question = question_match.group(1).strip() if question_match else "the scene"
+        cite = f"[{timestamps[0]}]" if timestamps else "the available context"
+        n_events = len(timestamps)
+        reasoning = (
+            f"**Reasoning:** The timeline context contains {n_events} "
+            f"time-tagged events relevant to \"{question[:60]}\". "
+            f"The earliest relevant observation occurs at {cite}."
+        )
+        answer = (
+            f"**Answer:** Based on the timeline, the relevant activity "
+            f"occurs at {cite}."
+        )
+        for piece in (reasoning + "\n\n" + answer).split(" "):
+            yield piece + " "
+
+
+class Qwen3ChatBackend:
+    """JAX Qwen3 engine + HF tokenizer + Qwen chat template."""
+
+    def __init__(self, engine, tokenizer):
+        self.engine = engine
+        self.tokenizer = tokenizer
+
+    def _render(self, messages: list[dict]) -> list[int]:
+        try:
+            return self.tokenizer.apply_chat_template(
+                messages_to_plain_text(messages),
+                tokenize=True, add_generation_prompt=True,
+            )
+        except Exception:
+            # manual Qwen ChatML rendering
+            parts = []
+            for message in messages_to_plain_text(messages):
+                parts.append(
+                    f"<|im_start|>{message['role']}\n{message['content']}<|im_end|>\n"
+                )
+            parts.append("<|im_start|>assistant\n")
+            return self.tokenizer.encode("".join(parts))
+
+    def stream(self, messages, config, inputs_embeds_prefix=None):
+        ids = self._render(messages)
+        produced: list[int] = []
+        emitted = 0
+        for token in self.engine.stream(
+            ids,
+            max_new_tokens=config.max_new_tokens,
+            temperature=config.temperature,
+            top_p=config.top_p,
+            top_k=config.top_k,
+            inputs_embeds_prefix=inputs_embeds_prefix,
+        ):
+            produced.append(token)
+            text = self.tokenizer.decode(produced, skip_special_tokens=True)
+            if len(text) > emitted and not text.endswith("�"):
+                yield text[emitted:]
+                emitted = len(text)
+
+
+def messages_to_plain_text(messages: list[dict]) -> list[dict]:
+    """Flatten typed content parts into plain-string messages."""
+    out = []
+    for message in messages:
+        content = message.get("content", "")
+        if not isinstance(content, str):
+            content = "\n".join(
+                part.get("text", "[image]") if part.get("type") == "text"
+                else "[image]"
+                for part in content
+            )
+        out.append({"role": message["role"], "content": content})
+    return out
+
+
+class ReasoningCore:
+    """Retrieval-augmented multimodal reasoning with multi-turn memory.
+
+    Method surface mirrors the reference ``QwenVLCore``:
+    ``reason`` / ``reason_streaming`` / ``build_prompt`` /
+    ``format_timeline_context`` / ``index_timeline`` / conversation
+    save-load.
+    """
+
+    def __init__(
+        self,
+        config: Optional[ReasoningCoreConfig] = None,
+        backend: Optional[ChatBackend] = None,
+        knowledge_searcher=None,
+    ):
+        self.config = config or ReasoningCoreConfig()
+        self.backend = backend or TemplateFakeBackend()
+        self.retriever = TimelineRetriever(self.config)
+        self.visual_processor = VisualInputProcessor(self.config)
+        self.conversation_history = ConversationHistory()
+        self.confidence_scorer = ConfidenceScorer()
+        self._knowledge_searcher = knowledge_searcher
+        self.tool_parser = ToolCallParser(knowledge_searcher)
+        self._last_retrieved_events: list = []
+
+    # ------------------------------------------------------------ indexing
+
+    def index_timeline(self, timeline_indexer) -> None:
+        self.retriever.index_timeline(timeline_indexer)
+
+    # ------------------------------------------------------------- prompts
+
+    def format_timeline_context(
+        self, events: list, max_tokens: Optional[int] = None
+    ) -> str:
+        """Compact event lines under a ~4 chars/token budget."""
+        if not events:
+            return "No relevant events found in timeline."
+        char_limit = (max_tokens or self.config.max_timeline_tokens) * 4
+        lines, used = [], 0
+        for event in sorted(events, key=lambda e: e.timestamp):
+            line = (
+                event.format_compact()
+                if hasattr(event, "format_compact")
+                else f"[{int(event.timestamp // 60):02d}:"
+                     f"{int(event.timestamp % 60):02d}] {event.description}"
+            )
+            if used + len(line) > char_limit:
+                lines.append("... (more events truncated)")
+                break
+            lines.append(line)
+            used += len(line)
+        return "\n".join(lines)
+
+    def build_prompt(
+        self,
+        query: str,
+        timeline_context: str,
+        current_frame: Any = None,
+        region_tokens: Optional[str] = None,
+        knowledge_base_context: Optional[str] = None,
+        include_conversation_history: bool = True,
+        web_search_results: Optional[str] = None,
+    ) -> list[dict]:
+        """Assemble the chat message list (system + history + user turn)."""
+        system_text = self.config.system_prompt
+        if (
+            include_conversation_history
+            and self.conversation_history.get_turn_count() > 0
+        ):
+            system_text += (
+                "\n\nYou have access to the conversation history. Use it to "
+                "understand follow-up questions and maintain context."
+            )
+        ctx = getattr(self._knowledge_searcher, "game_context", None)
+        if ctx is not None and getattr(ctx, "game_name", None):
+            system_text += f"\n\nCurrent game: **{ctx.game_name}**"
+            if getattr(ctx, "game_genre", None):
+                system_text += f" ({ctx.game_genre})"
+
+        messages: list[dict] = [
+            {"role": "system", "content": [{"type": "text", "text": system_text}]}
+        ]
+        if include_conversation_history:
+            messages.extend(self.conversation_history.get_messages_for_chat())
+
+        user_content: list[dict] = []
+        if current_frame is not None:
+            user_content.append(self.visual_processor.process_frame(current_frame))
+
+        context_parts = []
+        if timeline_context:
+            context_parts.append("## Timeline Context\n" + timeline_context)
+        if region_tokens:
+            context_parts.append("## Visual Regions\n" + region_tokens)
+        if knowledge_base_context:
+            context_parts.append(
+                "## Entity Knowledge Base\n" + knowledge_base_context
+            )
+        if web_search_results:
+            context_parts.append(web_search_results)
+        if (
+            include_conversation_history
+            and self.conversation_history.is_follow_up_query(query)
+        ):
+            conv = self.conversation_history.get_context_for_prompt(
+                max_recent_turns=4
+            )
+            if conv:
+                context_parts.append("## Recent Conversation\n" + conv)
+        if context_parts:
+            user_content.append(
+                {"type": "text", "text": "\n\n".join(context_parts)}
+            )
+        user_content.append(
+            {"type": "text", "text": f"\n## Question\n{query}"}
+        )
+        messages.append({"role": "user", "content": user_content})
+        return messages
+
+    # ------------------------------------------------------------- reason
+
+    def _prepare(
+        self,
+        query: str,
+        timeline_indexer,
+        knowledge_base,
+        region_detections,
+        video_timestamp,
+        track_conversation: bool,
+        current_frame,
+    ) -> tuple[list[dict], Optional[float]]:
+        if self.conversation_history.is_follow_up_query(query):
+            if video_timestamp is None:
+                video_timestamp = (
+                    self.conversation_history.get_last_mentioned_timestamp()
+                )
+        elif video_timestamp is None:
+            # record the moment the user asked about so follow-ups anchor
+            video_timestamp = self.retriever.parse_timestamp(query)
+        if timeline_indexer is not None:
+            self.retriever.index_timeline(timeline_indexer)
+        events = self.retriever.hybrid_retrieve(query, timeline_indexer)
+        self._last_retrieved_events = events
+        timeline_context = self.format_timeline_context(events)
+
+        region_tokens = (
+            self.visual_processor.process_region_tokens(region_detections)
+            if region_detections else None
+        )
+        kb_context = (
+            knowledge_base.export_for_llm(max_entities=15, max_relationships=20)
+            if knowledge_base is not None else None
+        )
+        messages = self.build_prompt(
+            query=query,
+            timeline_context=timeline_context,
+            current_frame=current_frame,
+            region_tokens=region_tokens,
+            knowledge_base_context=kb_context,
+            include_conversation_history=track_conversation,
+        )
+        return messages, video_timestamp
+
+    def reason(
+        self,
+        query: str,
+        current_frame: Any = None,
+        timeline_indexer=None,
+        knowledge_base=None,
+        region_detections: Optional[list[dict]] = None,
+        video_timestamp: Optional[float] = None,
+        track_conversation: bool = True,
+        return_confidence: bool = False,
+        inputs_embeds_prefix: Optional[np.ndarray] = None,
+    ) -> Union[str, tuple[str, float]]:
+        """Full pipeline; returns the response (optionally with confidence)."""
+        pieces = list(
+            self.reason_streaming(
+                query,
+                current_frame=current_frame,
+                timeline_indexer=timeline_indexer,
+                knowledge_base=knowledge_base,
+                region_detections=region_detections,
+                video_timestamp=video_timestamp,
+                track_conversation=track_conversation,
+                inputs_embeds_prefix=inputs_embeds_prefix,
+            )
+        )
+        response = "".join(pieces).strip()
+        confidence = self.confidence_scorer.score_response(
+            query, response, context_events=self._last_retrieved_events
+        )
+        return (response, confidence) if return_confidence else response
+
+    def reason_streaming(
+        self,
+        query: str,
+        current_frame: Any = None,
+        timeline_indexer=None,
+        knowledge_base=None,
+        region_detections: Optional[list[dict]] = None,
+        video_timestamp: Optional[float] = None,
+        track_conversation: bool = True,
+        inputs_embeds_prefix: Optional[np.ndarray] = None,
+    ) -> Iterator[str]:
+        """Stream response pieces; runs the two-pass tool-call loop."""
+        messages, video_timestamp = self._prepare(
+            query, timeline_indexer, knowledge_base, region_detections,
+            video_timestamp, track_conversation, current_frame,
+        )
+
+        pieces: list[str] = []
+        for piece in self.backend.stream(
+            messages, self.config, inputs_embeds_prefix=inputs_embeds_prefix
+        ):
+            pieces.append(piece)
+            yield piece
+        response = "".join(pieces)
+
+        # tool-call pass: execute, re-prompt, stream the final answer
+        if self.tool_parser.has_tool_calls(response):
+            cleaned, results = self.tool_parser.execute_all_tools(response)
+            tool_block = self.tool_parser.format_tool_results_for_prompt(results)
+            followup = self.build_prompt(
+                query=query,
+                timeline_context=self.format_timeline_context(
+                    self._last_retrieved_events
+                ),
+                current_frame=current_frame,
+                include_conversation_history=track_conversation,
+                web_search_results=tool_block,
+            )
+            yield "\n"
+            pieces = ["\n"]
+            for piece in self.backend.stream(followup, self.config):
+                pieces.append(piece)
+                yield piece
+            response = cleaned + "".join(pieces)
+
+        if track_conversation:
+            self.conversation_history.add_user_message(
+                query, video_timestamp=video_timestamp
+            )
+            confidence = self.confidence_scorer.score_response(
+                query, response, context_events=self._last_retrieved_events
+            )
+            self.conversation_history.add_assistant_message(
+                response.strip(), confidence=confidence
+            )
+
+    # -------------------------------------------------------- conversation
+
+    def clear_conversation(self) -> None:
+        self.conversation_history.clear()
+
+    def save_conversation(self, path: str) -> None:
+        self.conversation_history.save(path)
+
+    def load_conversation(self, path: str) -> None:
+        self.conversation_history = ConversationHistory.load(path)
+
+    def get_conversation_summary(self) -> dict:
+        last = self.conversation_history.get_last_assistant_response()
+        return {
+            "turn_count": self.conversation_history.get_turn_count(),
+            "timestamps_mentioned":
+                self.conversation_history.get_mentioned_timestamps(),
+            "last_query": self.conversation_history.get_last_user_query(),
+            "last_response": (last[:100] + "...") if last else None,
+        }
+
+
+def create_reasoning_core(
+    config: Optional[ReasoningCoreConfig] = None,
+    checkpoint_path: Optional[str] = None,
+    lora_path: Optional[str] = None,
+    knowledge_searcher=None,
+) -> ReasoningCore:
+    """Factory: JAX Qwen3 backend when a checkpoint is available, else fake."""
+    config = config or ReasoningCoreConfig()
+    backend: ChatBackend
+    if checkpoint_path:
+        from transformers import AutoTokenizer
+
+        from gvl_tpu.models.qwen3 import Qwen3Engine, load_hf_qwen3
+
+        model, variables = load_hf_qwen3(checkpoint_path)
+        tokenizer = AutoTokenizer.from_pretrained(checkpoint_path)
+        engine = Qwen3Engine(model.config, variables)
+        backend = Qwen3ChatBackend(engine, tokenizer)
+    else:
+        backend = TemplateFakeBackend()
+    return ReasoningCore(config, backend=backend,
+                         knowledge_searcher=knowledge_searcher)

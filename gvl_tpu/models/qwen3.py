@@ -1,0 +1,508 @@
+"""Qwen3-class decoder LLM in Flax: the reasoning core, TPU-first.
+
+Replaces the reference's HF Qwen3-VL + flash-attn-2 + PEFT stack
+(`/root/reference/src/agent_core/qwen_reasoning_core.py:1803-1879`) with:
+
+- GQA attention with per-head q/k RMSNorm (the Qwen3 signature) and RoPE;
+- prefill through the Pallas flash kernel at bucketed prompt lengths;
+- single-token decode against a static-shape KV cache (functional update,
+  masked to the live length) — one jitted step reused for every token;
+- LoRA adapters as extra (A, B) params on selected projections, either
+  applied on the fly or merged into the base kernels for serving;
+- tensor-parallel layout matching gvl_tpu.parallel.sharding.LLM_RULES;
+- on-device temperature/top-k/top-p sampling;
+- a converter from HF ``Qwen3ForCausalLM`` state dicts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.nn.layers import RMSNorm
+from gvl_tpu.ops.attention import attention_reference, dot_product_attention
+from gvl_tpu.ops.rope import apply_rope, rope_angles
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    """Defaults sized for Qwen3-VL-8B's text decoder."""
+
+    hidden_size: int = 4096
+    num_layers: int = 36
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 12288
+    vocab_size: int = 151936
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    max_cache_length: int = 8192
+    # LoRA (reference finetune config: r=32, alpha=64, 7 targets,
+    # /root/reference/scripts/finetune_lora.py:35-51)
+    lora_rank: int = 0
+    lora_alpha: float = 64.0
+    lora_targets: tuple[str, ...] = (
+        "q_proj", "k_proj", "v_proj", "o_proj",
+        "gate_proj", "up_proj", "down_proj",
+    )
+
+    @classmethod
+    def qwen3_vl_8b(cls, **kw) -> "Qwen3Config":
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "Qwen3Config":
+        base = dict(hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+                    head_dim=16, intermediate_size=128, vocab_size=512,
+                    max_cache_length=128)
+        base.update(kw)
+        return cls(**base)
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer cache; ``length`` is the live prefix size."""
+
+    k: tuple[jax.Array, ...]  # each [B, Hkv, S_max, D]
+    v: tuple[jax.Array, ...]
+    length: jax.Array         # [] int32
+
+    @classmethod
+    def zeros(cls, config: Qwen3Config, batch: int, dtype=jnp.bfloat16):
+        shape = (batch, config.num_kv_heads, config.max_cache_length,
+                 config.head_dim)
+        k = tuple(jnp.zeros(shape, dtype) for _ in range(config.num_layers))
+        return cls(k=k, v=tuple(jnp.zeros(shape, dtype) for _ in k),
+                   length=jnp.zeros((), jnp.int32))
+
+
+class LoRADense(nn.Module):
+    """Dense with optional low-rank delta: ``x W + scale * (x A) B``."""
+
+    features: int
+    rank: int = 0
+    alpha: float = 64.0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = nn.Dense(self.features, use_bias=self.use_bias, name="base")(x)
+        if self.rank > 0:
+            a = self.param(
+                "lora_a", nn.initializers.normal(0.02), (x.shape[-1], self.rank)
+            )
+            b = self.param(
+                "lora_b", nn.initializers.zeros, (self.rank, self.features)
+            )
+            out = out + (x @ a.astype(x.dtype)) @ b.astype(x.dtype) * (
+                self.alpha / self.rank
+            )
+        return out
+
+
+class Qwen3Attention(nn.Module):
+    config: Qwen3Config
+
+    def _dense(self, name: str, features: int) -> nn.Module:
+        cfg = self.config
+        rank = cfg.lora_rank if name in cfg.lora_targets else 0
+        return LoRADense(features, rank=rank, alpha=cfg.lora_alpha, name=name)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        positions: jax.Array,          # [S] absolute positions of x's tokens
+        cache_k: Optional[jax.Array] = None,
+        cache_v: Optional[jax.Array] = None,
+        cache_len: Optional[jax.Array] = None,
+    ):
+        cfg = self.config
+        batch, seq, _ = x.shape
+        n_q, n_kv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        q = self._dense("q_proj", n_q * d)(x).reshape(batch, seq, n_q, d)
+        k = self._dense("k_proj", n_kv * d)(x).reshape(batch, seq, n_kv, d)
+        v = self._dense("v_proj", n_kv * d)(x).reshape(batch, seq, n_kv, d)
+
+        q = RMSNorm(eps=cfg.rms_norm_eps, name="q_norm")(q)
+        k = RMSNorm(eps=cfg.rms_norm_eps, name="k_norm")(k)
+
+        cos, sin = rope_angles(positions, d, cfg.rope_theta)
+        q = apply_rope(q.swapaxes(1, 2), cos, sin)      # [B, Hq, S, D]
+        k = apply_rope(k.swapaxes(1, 2), cos, sin)      # [B, Hkv, S, D]
+        v = v.swapaxes(1, 2)
+
+        if cache_k is None:
+            # teacher-forced path: causal flash over the sequence
+            out = dot_product_attention(q, k, v, causal=True)
+            new_k, new_v = k, v
+        else:
+            new_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0)
+            )
+            new_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0)
+            )
+            if seq > 1:
+                # prefill into an empty cache: causal flash over the prompt
+                # only (rows past the true length are masked at decode time)
+                out = dot_product_attention(q, k, v, causal=True)
+            else:
+                # single-token decode: masked attention over the live cache
+                s_max = cache_k.shape[2]
+                group = n_q // n_kv
+                kf = jnp.repeat(new_k, group, axis=1)
+                vf = jnp.repeat(new_v, group, axis=1)
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, kf,
+                    preferred_element_type=jnp.float32,
+                ) / np.sqrt(d)
+                live = jnp.arange(s_max)[None, None, None, :] <= cache_len
+                scores = jnp.where(live, scores, -1e30)
+                probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
+                out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+
+        out = out.swapaxes(1, 2).reshape(batch, seq, n_q * d)
+        return self._dense("o_proj", cfg.hidden_size)(out), new_k, new_v
+
+
+class Qwen3Mlp(nn.Module):
+    config: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+
+        def dense(name, features):
+            rank = cfg.lora_rank if name in cfg.lora_targets else 0
+            return LoRADense(features, rank=rank, alpha=cfg.lora_alpha, name=name)
+
+        gate = dense("gate_proj", cfg.intermediate_size)(x)
+        up = dense("up_proj", cfg.intermediate_size)(x)
+        return dense("down_proj", cfg.hidden_size)(nn.silu(gate) * up)
+
+
+class Qwen3Layer(nn.Module):
+    config: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x, positions, cache_k=None, cache_v=None, cache_len=None):
+        cfg = self.config
+        h = RMSNorm(eps=cfg.rms_norm_eps, name="input_norm")(x)
+        attn, new_k, new_v = Qwen3Attention(cfg, name="self_attn")(
+            h, positions, cache_k, cache_v, cache_len
+        )
+        x = x + attn
+        h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attn_norm")(x)
+        return x + Qwen3Mlp(cfg, name="mlp")(h), new_k, new_v
+
+
+class Qwen3Model(nn.Module):
+    """Decoder stack with optional KV cache and embedding injection."""
+
+    config: Qwen3Config
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size)
+        self.decoder_layers = [
+            Qwen3Layer(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)
+        ]
+        self.final_norm = RMSNorm(eps=cfg.rms_norm_eps)
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False)
+
+    def __call__(
+        self,
+        tokens: Optional[jax.Array] = None,       # [B, S] int32
+        *,
+        inputs_embeds: Optional[jax.Array] = None,  # [B, S, D] overrides tokens
+        positions: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+    ):
+        cfg = self.config
+        x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(tokens)
+        seq = x.shape[1]
+        if positions is None:
+            positions = jnp.arange(seq, dtype=jnp.int32)
+
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.decoder_layers):
+            if cache is None:
+                x, k, v = layer(x, positions)
+            else:
+                x, k, v = layer(x, positions, cache.k[i], cache.v[i],
+                                cache.length)
+            new_k.append(k)
+            new_v.append(v)
+
+        x = self.final_norm(x)
+        if cfg.tie_word_embeddings:
+            logits = self.embed_tokens.attend(x)
+        else:
+            logits = self.lm_head(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(
+                k=tuple(new_k), v=tuple(new_v), length=cache.length + seq
+            )
+        return logits, new_cache
+
+    def embed_only(self, tokens: jax.Array) -> jax.Array:
+        """Token embeddings (for host-side inputs_embeds splicing)."""
+        return self.embed_tokens(tokens)
+
+
+# --------------------------------------------------------------------------
+# Generation
+# --------------------------------------------------------------------------
+
+def sample_logits(
+    logits: jax.Array,
+    rng: jax.Array,
+    temperature: float = 0.7,
+    top_p: float = 0.8,
+    top_k: int = 20,
+) -> jax.Array:
+    """Temperature + top-k + nucleus sampling; argmax when temperature=0."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p (always keep best)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+class Qwen3Engine:
+    """Prefill + streaming decode around :class:`Qwen3Model`.
+
+    >>> engine = Qwen3Engine(config, variables)
+    >>> for token in engine.stream(prompt_ids, max_new_tokens=64):
+    ...     ...
+    """
+
+    PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+    def __init__(
+        self,
+        config: Qwen3Config,
+        variables: dict,
+        eos_token_id: int = 151645,  # <|im_end|>
+        dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.variables = variables
+        self.eos_token_id = eos_token_id
+        self.model = Qwen3Model(config)
+        self._dtype = dtype
+        self._jit_cache: dict = {}
+
+    def _prefill_fn(self, sampling: tuple):
+        key = ("prefill", sampling)
+        if key not in self._jit_cache:
+            temperature, top_p, top_k = sampling
+
+            @jax.jit
+            def prefill(variables, tokens, cache, embeds_prefix, true_len, rng):
+                """Prompt (optionally with an injected multimodal embedding
+                prefix) through the model; sample the first new token."""
+                x = self.model.apply(
+                    variables, tokens, method=Qwen3Model.embed_only
+                )
+                if embeds_prefix is not None:
+                    x = jnp.concatenate(
+                        [embeds_prefix.astype(x.dtype), x], axis=1
+                    )
+                positions = jnp.arange(x.shape[1], dtype=jnp.int32)
+                logits, cache = self.model.apply(
+                    variables, inputs_embeds=x, positions=positions, cache=cache
+                )
+                # right-padded prompt: real last token is at true_len - 1
+                idx = jnp.full((logits.shape[0], 1, 1), true_len - 1)
+                last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+                cache = cache._replace(length=true_len)
+                token = sample_logits(last, rng, temperature, top_p, top_k)
+                return token, cache
+
+            self._jit_cache[key] = prefill
+        return self._jit_cache[key]
+
+    def _step_fn(self, sampling: tuple):
+        key = ("step", sampling)
+        if key not in self._jit_cache:
+            temperature, top_p, top_k = sampling
+
+            @jax.jit
+            def step(variables, token, cache, rng):
+                positions = cache.length[None]
+                logits, cache = self.model.apply(
+                    variables, token[:, None], positions=positions, cache=cache
+                )
+                nxt = sample_logits(
+                    logits[:, -1], rng, temperature, top_p, top_k
+                )
+                return nxt, cache
+
+            self._jit_cache[key] = step
+        return self._jit_cache[key]
+
+    def _bucket(self, n: int) -> int:
+        for b in self.PROMPT_BUCKETS:
+            if n <= b:
+                return min(b, self.config.max_cache_length)
+        return self.config.max_cache_length
+
+    def stream(
+        self,
+        prompt_ids: list[int] | np.ndarray,
+        max_new_tokens: int = 512,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        top_k: int = 20,
+        rng: Optional[jax.Array] = None,
+        inputs_embeds_prefix: Optional[np.ndarray] = None,
+    ):
+        """Yield generated token ids one at a time (greedy if T=0)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ids = np.asarray(prompt_ids, np.int32)[None]
+        prefix = (
+            jnp.asarray(inputs_embeds_prefix, self._dtype)[None]
+            if inputs_embeds_prefix is not None else None
+        )
+        n_prefix = 0 if prefix is None else prefix.shape[1]
+        true_len = ids.shape[1] + n_prefix
+        # pad the token prompt so (prefix + tokens) hits a static bucket
+        bucket = self._bucket(true_len)
+        pad = bucket - true_len
+        if pad:
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+
+        sampling = (float(temperature), float(top_p), int(top_k))
+        cache = KVCache.zeros(self.config, batch=1, dtype=self._dtype)
+        rng, sub = jax.random.split(rng)
+        token, cache = self._prefill_fn(sampling)(
+            self.variables, jnp.asarray(ids), cache, prefix,
+            jnp.int32(true_len), sub,
+        )
+
+        step = self._step_fn(sampling)
+        for _ in range(max_new_tokens):
+            tok = int(token[0])
+            if tok == self.eos_token_id:
+                return
+            yield tok
+            rng, sub = jax.random.split(rng)
+            token, cache = step(self.variables, token, cache, sub)
+
+    def generate(self, prompt_ids, **kw) -> list[int]:
+        return list(self.stream(prompt_ids, **kw))
+
+
+# --------------------------------------------------------------------------
+# LoRA utilities
+# --------------------------------------------------------------------------
+
+def merge_lora(params: dict, config: Qwen3Config) -> dict:
+    """Fold every (lora_a, lora_b) into its base kernel for serving."""
+    scale = config.lora_alpha / max(config.lora_rank, 1)
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if "lora_a" in tree and "base" in tree:
+                merged = dict(tree["base"])
+                merged["kernel"] = (
+                    tree["base"]["kernel"]
+                    + tree["lora_a"] @ tree["lora_b"] * scale
+                )
+                return {"base": merged}
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+# --------------------------------------------------------------------------
+# HF conversion
+# --------------------------------------------------------------------------
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def convert_hf_qwen3(state_dict: dict[str, Any], config: Qwen3Config) -> dict:
+    """Map a HF ``Qwen3ForCausalLM`` state dict onto :class:`Qwen3Model`.
+
+    Projection kernels land under ``<name>/base`` (the LoRADense layout);
+    fresh LoRA params, when enabled, initialize to zero-delta.
+    """
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    params: dict[str, Any] = {
+        "embed_tokens": {"embedding": _t(sd["embed_tokens.weight"])},
+        "final_norm": {"scale": _t(sd["norm.weight"])},
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _t(sd["lm_head.weight"]).T}
+    for i in range(config.num_layers):
+        pre = f"layers.{i}."
+        proj = lambda name: {"base": {"kernel": _t(sd[pre + name + ".weight"]).T}}
+        params[f"layers_{i}"] = {
+            "input_norm": {"scale": _t(sd[pre + "input_layernorm.weight"])},
+            "self_attn": {
+                "q_proj": proj("self_attn.q_proj"),
+                "k_proj": proj("self_attn.k_proj"),
+                "v_proj": proj("self_attn.v_proj"),
+                "o_proj": proj("self_attn.o_proj"),
+                "q_norm": {"scale": _t(sd[pre + "self_attn.q_norm.weight"])},
+                "k_norm": {"scale": _t(sd[pre + "self_attn.k_norm.weight"])},
+            },
+            "post_attn_norm": {
+                "scale": _t(sd[pre + "post_attention_layernorm.weight"])
+            },
+            "mlp": {
+                "gate_proj": proj("mlp.gate_proj"),
+                "up_proj": proj("mlp.up_proj"),
+                "down_proj": proj("mlp.down_proj"),
+            },
+        }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_hf_qwen3(
+    model_name_or_path: str, config: Optional[Qwen3Config] = None
+) -> tuple[Qwen3Model, dict]:
+    from transformers import Qwen3ForCausalLM
+
+    model = Qwen3ForCausalLM.from_pretrained(model_name_or_path)
+    hf = model.config
+    config = config or Qwen3Config(
+        hidden_size=hf.hidden_size,
+        num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        num_kv_heads=hf.num_key_value_heads,
+        head_dim=hf.head_dim,
+        intermediate_size=hf.intermediate_size,
+        vocab_size=hf.vocab_size,
+        rope_theta=hf.rope_theta,
+        rms_norm_eps=hf.rms_norm_eps,
+        tie_word_embeddings=hf.tie_word_embeddings,
+    )
+    params = convert_hf_qwen3(model.state_dict(), config)
+    return Qwen3Model(config), {"params": params}

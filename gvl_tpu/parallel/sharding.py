@@ -55,15 +55,19 @@ LLM_RULES = ShardingRules([
     # token embedding: shard the hidden dim (all-gather activations once)
     (r"embed_tokens/embedding$", P(None, "model")),
     (r"lm_head/kernel$", P(None, "model")),
-    # attention projections
-    (r"(self_)?att(ention|n)?/(q|k|v)_proj/kernel$", P(None, "model")),
-    (r"(self_)?att(ention|n)?/o_proj/kernel$", P("model", None)),
+    # attention projections (plain Dense or LoRADense "base" kernels)
+    (r"(self_)?att(ention|n)?/(q|k|v)_proj/(base/)?kernel$", P(None, "model")),
+    (r"(self_)?att(ention|n)?/o_proj/(base/)?kernel$", P("model", None)),
     # MLP
-    (r"mlp/(gate|up)_proj/kernel$", P(None, "model")),
-    (r"mlp/down_proj/kernel$", P("model", None)),
+    (r"mlp/(gate|up)_proj/(base/)?kernel$", P(None, "model")),
+    (r"mlp/down_proj/(base/)?kernel$", P("model", None)),
+    # LoRA: B follows the column-parallel output dim; A of row-parallel
+    # layers shards its input dim; everything else replicated
+    (r"(q|k|v|gate|up)_proj/lora_b$", P(None, "model")),
+    (r"(o|down)_proj/lora_a$", P("model", None)),
     # biases on column-parallel layers follow their kernel's output dim
-    (r"(q|k|v|gate|up)_proj/bias$", P("model")),
-    # everything else (norms, row-parallel biases) replicated
+    (r"(q|k|v|gate|up)_proj/(base/)?bias$", P("model")),
+    # everything else (norms, row-parallel biases, remaining lora) replicated
     (r".*", P()),
 ])
 

@@ -1,0 +1,213 @@
+"""Qwen3 reasoning core: HF parity, KV-cache decode, LoRA, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gvl_tpu.models.qwen3 import (
+    KVCache,
+    Qwen3Config,
+    Qwen3Engine,
+    Qwen3Model,
+    convert_hf_qwen3,
+    merge_lora,
+    sample_logits,
+)
+from gvl_tpu.parallel import build_mesh
+from gvl_tpu.parallel.sharding import LLM_RULES, sharding_tree, tree_paths
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import Qwen3Config as HFCfg, Qwen3ForCausalLM
+
+    hf_cfg = HFCfg(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, intermediate_size=128,
+        vocab_size=512, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = Qwen3Config.tiny(rope_theta=10000.0)
+    params = convert_hf_qwen3(hf.state_dict(), cfg)
+    return hf, cfg, {"params": params}
+
+
+class TestHFParity:
+    def test_teacher_forced_logits_match(self, hf_pair):
+        import torch
+
+        hf, cfg, variables = hf_pair
+        tokens = np.array([[1, 45, 206, 77, 300, 9]], np.int32)
+        with torch.no_grad():
+            ref = hf(input_ids=torch.from_numpy(tokens.astype(np.int64))).logits
+        model = Qwen3Model(cfg)
+        logits, _ = model.apply(variables, jnp.asarray(tokens))
+        np.testing.assert_allclose(
+            np.asarray(logits), ref.numpy(), atol=2e-3, rtol=2e-3)
+
+    def test_greedy_matches_hf_generate(self, hf_pair):
+        import torch
+
+        hf, cfg, variables = hf_pair
+        prompt = [1, 45, 206]
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+                eos_token_id=None, pad_token_id=0,
+            )[0, len(prompt):].tolist()
+        engine = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+        out = engine.generate(prompt, max_new_tokens=8, temperature=0.0)
+        assert out == ref
+
+
+class TestKVCacheDecode:
+    def test_incremental_matches_full_forward(self, hf_pair):
+        """Greedy engine decode == repeated argmax over full forwards."""
+        _, cfg, variables = hf_pair
+        model = Qwen3Model(cfg)
+        prompt = [7, 3, 99, 150]
+        seq = list(prompt)
+        for _ in range(6):
+            logits, _ = model.apply(variables, jnp.asarray([seq], jnp.int32))
+            seq.append(int(jnp.argmax(logits[0, -1])))
+        engine = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+        out = engine.generate(prompt, max_new_tokens=6, temperature=0.0)
+        assert out == seq[len(prompt):]
+
+    def test_prompt_bucketing_invariant(self, hf_pair):
+        """Padding to a larger bucket must not change the generation."""
+        _, cfg, variables = hf_pair
+        engine = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+        engine.PROMPT_BUCKETS = (8,)
+        a = engine.generate([7, 3, 99], max_new_tokens=4, temperature=0.0)
+        engine2 = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+        engine2.PROMPT_BUCKETS = (16,)
+        b = engine2.generate([7, 3, 99], max_new_tokens=4, temperature=0.0)
+        assert a == b
+
+    def test_embeds_prefix_injection_changes_output(self, hf_pair):
+        _, cfg, variables = hf_pair
+        engine = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+        base = engine.generate([7, 3, 99], max_new_tokens=4, temperature=0.0)
+        prefix = np.random.RandomState(0).randn(3, cfg.hidden_size).astype(
+            np.float32) * 5
+        injected = engine.generate(
+            [7, 3, 99], max_new_tokens=4, temperature=0.0,
+            inputs_embeds_prefix=prefix)
+        assert base != injected  # the injected context reaches the model
+
+    def test_stream_stops_at_eos(self, hf_pair):
+        _, cfg, variables = hf_pair
+        # find the greedy first token, then set it as EOS
+        engine = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+        first = engine.generate([7, 3], max_new_tokens=1, temperature=0.0)[0]
+        engine2 = Qwen3Engine(cfg, variables, eos_token_id=first,
+                              dtype=jnp.float32)
+        assert engine2.generate([7, 3], max_new_tokens=8, temperature=0.0) == []
+
+
+class TestSampling:
+    def test_temperature_zero_is_argmax(self):
+        logits = jnp.asarray([[0.1, 5.0, -2.0]])
+        tok = sample_logits(logits, jax.random.PRNGKey(0), temperature=0.0)
+        assert int(tok[0]) == 1
+
+    def test_top_k_restricts_support(self):
+        logits = jnp.asarray([[10.0, 9.0, -20.0, -20.0]])
+        picks = {
+            int(sample_logits(logits, jax.random.PRNGKey(i),
+                              temperature=1.0, top_k=2, top_p=1.0)[0])
+            for i in range(20)
+        }
+        assert picks <= {0, 1}
+
+    def test_top_p_keeps_best(self):
+        logits = jnp.asarray([[100.0, 0.0, 0.0, 0.0]])
+        tok = sample_logits(logits, jax.random.PRNGKey(0),
+                            temperature=1.0, top_p=0.1, top_k=0)
+        assert int(tok[0]) == 0
+
+
+class TestLoRA:
+    def test_fresh_lora_is_identity(self, hf_pair):
+        """Zero-init lora_b ⇒ outputs equal the base model."""
+        _, cfg_base, variables = hf_pair
+        cfg_lora = Qwen3Config.tiny(rope_theta=10000.0, lora_rank=4)
+        model_lora = Qwen3Model(cfg_lora)
+        tokens = jnp.asarray([[5, 10, 20]], jnp.int32)
+        init = model_lora.init(jax.random.PRNGKey(0), tokens)
+        # graft converted base weights into the lora variables
+        import flax
+
+        merged = flax.core.unfreeze(init)
+
+        def graft(dst, src):
+            for key, val in src.items():
+                if isinstance(val, dict):
+                    graft(dst[key], val)
+                else:
+                    dst[key] = val
+
+        graft(merged["params"], variables["params"])
+        base_logits, _ = Qwen3Model(cfg_base).apply(variables, tokens)
+        lora_logits, _ = model_lora.apply(merged, tokens)
+        np.testing.assert_allclose(
+            np.asarray(lora_logits), np.asarray(base_logits), atol=1e-5)
+
+    def test_merge_lora_equivalence(self, hf_pair):
+        _, _, variables = hf_pair
+        cfg = Qwen3Config.tiny(rope_theta=10000.0, lora_rank=4)
+        model = Qwen3Model(cfg)
+        tokens = jnp.asarray([[5, 10, 20]], jnp.int32)
+        rng = jax.random.PRNGKey(1)
+        params = model.init(rng, tokens)["params"]
+        # randomize lora_b so the delta is non-trivial
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: (
+                jax.random.normal(jax.random.PRNGKey(hash(str(path)) % 2**31),
+                                  leaf.shape) * 0.05
+                if any(getattr(k, "key", "") == "lora_b" for k in path)
+                else leaf
+            ),
+            params,
+        )
+        with_lora, _ = model.apply({"params": params}, tokens)
+        merged = merge_lora(params, cfg)
+        base_cfg = Qwen3Config.tiny(rope_theta=10000.0, lora_rank=0)
+        without, _ = Qwen3Model(base_cfg).apply({"params": merged}, tokens)
+        np.testing.assert_allclose(
+            np.asarray(without), np.asarray(with_lora), atol=1e-4, rtol=1e-4)
+
+
+class TestSharding:
+    def test_param_paths_match_rules(self, hf_pair):
+        _, cfg, variables = hf_pair
+        mesh = build_mesh(2, 4)
+        tree = sharding_tree(variables["params"], mesh, LLM_RULES)
+        flat = dict(zip(tree_paths(variables["params"]), jax.tree.leaves(tree)))
+        q = next(v for k, v in flat.items()
+                 if "self_attn/q_proj/base/kernel" in k)
+        down = next(v for k, v in flat.items()
+                    if "mlp/down_proj/base/kernel" in k)
+        embed = next(v for k, v in flat.items() if "embed_tokens" in k)
+        assert q.spec == P(None, "model")
+        assert down.spec == P("model")
+        assert embed.spec == P(None, "model")
+
+    def test_sharded_forward_on_mesh(self, hf_pair):
+        from gvl_tpu.parallel.sharding import shard_pytree
+
+        _, cfg, variables = hf_pair
+        mesh = build_mesh(2, 4)
+        sharded = shard_pytree(variables, mesh, LLM_RULES)
+        model = Qwen3Model(cfg)
+        tokens = jnp.asarray([[5, 10, 20, 7]] * 2, jnp.int32)
+        ref_logits, _ = model.apply(variables, tokens)
+        out_logits, _ = jax.jit(lambda v, t: model.apply(v, t))(sharded, tokens)
+        np.testing.assert_allclose(
+            np.asarray(out_logits), np.asarray(ref_logits), atol=1e-4)
