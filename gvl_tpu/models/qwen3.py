@@ -320,7 +320,7 @@ class Qwen3Engine:
         if key not in self._jit_cache:
             temperature, top_p, top_k = sampling
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(2,))
             def prefill(variables, tokens, cache, embeds_prefix, true_len, rng):
                 """Prompt (optionally with an injected multimodal embedding
                 prefix) through the model; sample the first new token."""
@@ -350,7 +350,7 @@ class Qwen3Engine:
         if key not in self._jit_cache:
             temperature, top_p, top_k = sampling
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(2,))
             def step(variables, token, cache, rng):
                 positions = cache.length[None]
                 logits, cache = self.model.apply(

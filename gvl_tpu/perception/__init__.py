@@ -1,6 +1,23 @@
 """Visual perception: open-vocabulary segmentation/tracking, region
 semantics, OCR."""
 
+from gvl_tpu.perception.segmenter import (
+    BoundingBox,
+    EntityState,
+    SAMConceptSegmenter,
+    SAMConfig,
+    SegmentationMask,
+    TrackedEntity,
+    create_sam_segmenter,
+)
+from gvl_tpu.perception.ocr import (
+    OCRConfig,
+    OCRFrame,
+    OCRPipeline,
+    TextCategorizer,
+    TextDetection,
+    create_ocr_pipeline,
+)
 from gvl_tpu.perception.semantic import (
     NaFlexConfig,
     SemanticEmbedding,
@@ -9,6 +26,19 @@ from gvl_tpu.perception.semantic import (
 )
 
 __all__ = [
+    "EntityState",
+    "BoundingBox",
+    "SegmentationMask",
+    "TrackedEntity",
+    "SAMConfig",
+    "SAMConceptSegmenter",
+    "create_sam_segmenter",
+    "OCRConfig",
+    "OCRFrame",
+    "OCRPipeline",
+    "TextCategorizer",
+    "TextDetection",
+    "create_ocr_pipeline",
     "NaFlexConfig",
     "SemanticEmbedding",
     "SigLIPSemanticEncoder",
