@@ -84,9 +84,10 @@ class ProjectorBank:
 
     def init(self, rng: Optional[jax.Array] = None) -> "ProjectorBank":
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        init = jax.jit(self.module.init)  # avoid eager per-op dispatch
         for i, (name, dim_attr) in enumerate(MODALITY_DIMS.items()):
             dim = getattr(self.config, dim_attr)
-            self.params[name] = self.module.init(
+            self.params[name] = init(
                 jax.random.fold_in(rng, i), jnp.zeros((1, dim))
             )["params"]
         self._initialized = True

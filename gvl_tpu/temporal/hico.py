@@ -168,11 +168,17 @@ class TemporalCompressionModule:
         self.compressor = HierarchicalCompressor(self.config)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, self.config.frames_per_clip, self.config.hidden_dim))
-        self.variables = self.compressor.init(rng, dummy)
+        self.variables = jax.jit(self.compressor.init)(rng, dummy)
         self._compress_clip = jax.jit(
             lambda v, x: self.compressor.apply(
                 v, x, method=HierarchicalCompressor.compress_frames_to_clip
             )
+        )
+        self._compress_video = jax.jit(
+            lambda v, x, n: self.compressor.apply(
+                v, x, n, method=HierarchicalCompressor.compress_clips_to_video
+            ),
+            static_argnums=(2,),
         )
         self._token_cache: list[TemporalToken] = []
 
@@ -241,9 +247,16 @@ class TemporalCompressionModule:
                     ))
             return tokens
 
+        # pad the clip batch to a power-of-two bucket so XLA compiles once
+        n_clips = features.shape[0]
+        bucket = 1 << (n_clips - 1).bit_length()
+        if bucket != n_clips:
+            features = np.concatenate(
+                [features, np.zeros((bucket - n_clips, *features.shape[1:]),
+                                    features.dtype)], axis=0)
         clip_embs = np.asarray(
             self._compress_clip(self.variables, jnp.asarray(features))
-        )[:, 0]  # [n_clips, D]
+        )[:n_clips, 0]  # [n_clips, D]
 
         if target_level is CompressionLevel.CLIP:
             for emb, (clip, t0, t1) in zip(clip_embs, clips):
@@ -256,9 +269,8 @@ class TemporalCompressionModule:
                 ))
         else:  # VIDEO
             num_out = max(1, len(clips) // self.config.clip_to_video_ratio)
-            video = self.compressor.apply(
-                self.variables, jnp.asarray(clip_embs[None]), num_out,
-                method=HierarchicalCompressor.compress_clips_to_video,
+            video = self._compress_video(
+                self.variables, jnp.asarray(clip_embs[None]), num_out
             )
             t0, t1 = clips[0][1], clips[-1][2]
             n_frames = sum(len(c) for c, _, _ in clips)

@@ -1,0 +1,38 @@
+"""Process-level JAX configuration: persistent compilation cache.
+
+Remote-attached TPUs (the axon tunnel) pay tens of seconds per XLA
+compile; enabling JAX's persistent compilation cache makes every
+recompile of an already-seen program a disk hit.  Called once, lazily,
+by the entry points; a no-op when the user already configured a cache.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+_DONE = False
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    import jax
+
+    target = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or str(Path.home() / ".cache" / "gvl_tpu_xla")
+    )
+    try:
+        Path(target).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        logger.info("XLA compilation cache at %s", target)
+    except Exception as exc:  # never fatal
+        logger.debug("compilation cache setup failed: %s", exc)
