@@ -1,0 +1,224 @@
+"""Unified benchmark sample schema + abstract loader.
+
+Parity surface: `/root/reference/benchmarks/loaders/base.py` (task/answer
+vocabularies :21-40, sample fields :43-109, config filters :112-134).
+Adds what every loader here supports: a ``synthetic`` mode that fabricates
+samples over ``synthetic://`` videos so phases run end-to-end without the
+datasets downloaded.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import random
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class TaskType(Enum):
+    GLITCH_DETECTION = "glitch_detection"
+    PHYSICS_VIOLATION = "physics_violation"
+    VISUAL_QA = "visual_qa"
+    NEEDLE_IN_HAYSTACK = "needle_in_haystack"
+    BUG_REPORT = "bug_report"
+    TEMPORAL_REASONING = "temporal_reasoning"
+    ACTION_RECOGNITION = "action_recognition"
+    OBJECT_TRACKING = "object_tracking"
+
+
+class AnswerFormat(Enum):
+    BINARY = "binary"
+    MCQ = "mcq"
+    FREE_TEXT = "free_text"
+    CLASSIFICATION = "classification"
+
+
+@dataclass
+class BenchmarkSample:
+    """One sample in the unified schema."""
+
+    sample_id: str
+    benchmark_name: str
+    video_path: Optional[str] = None
+    image_path: Optional[str] = None
+    video_url: Optional[str] = None
+    question: str = ""
+    options: list[str] = field(default_factory=list)
+    ground_truth: str = ""
+    task_type: TaskType = TaskType.VISUAL_QA
+    answer_format: AnswerFormat = AnswerFormat.FREE_TEXT
+    category: str = "general"
+    subcategory: str = ""
+    video_duration_sec: Optional[float] = None
+    start_time_sec: Optional[float] = None
+    end_time_sec: Optional[float] = None
+    game_name: Optional[str] = None
+    description: Optional[str] = None
+    metadata: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "sample_id": self.sample_id,
+            "benchmark_name": self.benchmark_name,
+            "video_path": self.video_path,
+            "image_path": self.image_path,
+            "question": self.question,
+            "options": self.options,
+            "ground_truth": self.ground_truth,
+            "task_type": self.task_type.value,
+            "answer_format": self.answer_format.value,
+            "category": self.category,
+            "game_name": self.game_name,
+            "video_duration_sec": self.video_duration_sec,
+        }
+
+    def get_prompt(self, include_options: bool = True) -> str:
+        prompt = self.question
+        if include_options and self.options:
+            prompt += "\n\nOptions:"
+            for i, option in enumerate(self.options):
+                prompt += f"\n{chr(ord('A') + i)}) {option}"
+            prompt += "\n\nAnswer with the letter of the correct option."
+        return prompt
+
+    # the reference's runners call this (nonexistent there — COMPAT.md #3)
+    get_formatted_prompt = get_prompt
+
+
+@dataclass
+class BenchmarkConfig:
+    data_dir: str = ""
+    video_dir: Optional[str] = None
+    annotation_file: Optional[str] = None
+    max_samples: Optional[int] = None
+    tasks: Optional[list[str]] = None
+    categories: Optional[list[str]] = None
+    min_duration_sec: Optional[float] = None
+    max_duration_sec: Optional[float] = None
+    random_seed: int = 42
+    shuffle: bool = False
+    synthetic: bool = False  # fabricate samples when data is absent
+
+    def __post_init__(self):
+        if self.data_dir:
+            self.data_dir = str(Path(self.data_dir).expanduser())
+
+
+class BenchmarkLoader(ABC):
+    """Load → filter → iterate benchmark samples."""
+
+    name: str = "benchmark"
+
+    def __init__(self, config: Optional[BenchmarkConfig] = None):
+        self.config = config or BenchmarkConfig()
+        self._samples: list[BenchmarkSample] = []
+        self._loaded = False
+
+    # ------------------------------------------------------------- loading
+
+    @abstractmethod
+    def _load_samples(self) -> list[BenchmarkSample]:
+        """Produce the raw sample list (dataset-specific)."""
+
+    def synthetic_samples(self, n: int = 8) -> list[BenchmarkSample]:
+        """Fallback samples over procedural videos."""
+        rng = random.Random(self.config.random_seed)
+        out = []
+        for i in range(n):
+            duration = rng.choice([10, 20, 30])
+            truth = rng.choice(["Yes", "No"])
+            out.append(BenchmarkSample(
+                sample_id=f"{self.name}_synth_{i:04d}",
+                benchmark_name=self.name,
+                video_path=(
+                    f"synthetic://{self.name}_{i}?duration={duration}&fps=2"
+                ),
+                question="Is there a visible entity moving in this video?",
+                options=["Yes", "No"],
+                ground_truth=truth,
+                task_type=TaskType.VISUAL_QA,
+                answer_format=AnswerFormat.BINARY,
+                category="synthetic",
+                video_duration_sec=float(duration),
+                metadata={"synthetic": True},
+            ))
+        return out
+
+    def load(self) -> list[BenchmarkSample]:
+        if self._loaded:
+            return self._samples
+        try:
+            samples = self._load_samples()
+        except Exception as exc:
+            logger.warning("%s: load failed (%s)", self.name, exc)
+            samples = []
+        if not samples and self.config.synthetic:
+            samples = self.synthetic_samples(self.config.max_samples or 8)
+        self._samples = self._apply_filters(samples)
+        self._loaded = True
+        logger.info("%s: %d samples", self.name, len(self._samples))
+        return self._samples
+
+    def _apply_filters(
+        self, samples: list[BenchmarkSample]
+    ) -> list[BenchmarkSample]:
+        cfg = self.config
+        if cfg.tasks:
+            allowed = {t.lower() for t in cfg.tasks}
+            samples = [s for s in samples if s.task_type.value in allowed]
+        if cfg.categories:
+            allowed = {c.lower() for c in cfg.categories}
+            samples = [s for s in samples if s.category.lower() in allowed]
+        if cfg.min_duration_sec is not None:
+            samples = [s for s in samples if (s.video_duration_sec or 0)
+                       >= cfg.min_duration_sec]
+        if cfg.max_duration_sec is not None:
+            samples = [s for s in samples if (s.video_duration_sec or 0)
+                       <= cfg.max_duration_sec]
+        if cfg.shuffle:
+            random.Random(cfg.random_seed).shuffle(samples)
+        if cfg.max_samples:
+            samples = samples[: cfg.max_samples]
+        return samples
+
+    # --------------------------------------------------------------- utils
+
+    def _load_json_annotations(self, path: Path) -> list[dict]:
+        doc = json.loads(path.read_text())
+        if isinstance(doc, dict):
+            for key in ("samples", "data", "annotations"):
+                if key in doc:
+                    return doc[key]
+            return []
+        return doc
+
+    def get_statistics(self) -> dict:
+        samples = self.load()
+        by_task: dict[str, int] = {}
+        by_category: dict[str, int] = {}
+        for s in samples:
+            by_task[s.task_type.value] = by_task.get(s.task_type.value, 0) + 1
+            by_category[s.category] = by_category.get(s.category, 0) + 1
+        return {
+            "benchmark": self.name,
+            "total_samples": len(samples),
+            "by_task": by_task,
+            "by_category": by_category,
+        }
+
+    def export_jsonl(self, path: str | Path) -> None:
+        with open(path, "w") as f:
+            for s in self.load():
+                f.write(json.dumps(s.to_dict()) + "\n")
+
+    def __iter__(self):
+        return iter(self.load())
+
+    def __len__(self) -> int:
+        return len(self.load())

@@ -1,0 +1,207 @@
+"""Benchmark loaders, answer parsing, metrics, perception cache."""
+
+import json
+
+import numpy as np
+import pytest
+
+from benchmarks.loaders import (
+    AnswerFormat,
+    BenchmarkConfig,
+    BenchmarkSample,
+    GlitchBenchLoader,
+    MLVULoader,
+    PhysGameLoader,
+    TaskType,
+    VideoGameQALoader,
+)
+from benchmarks.metrics import AggregateMetrics, MetricsTracker, SampleMetrics
+from benchmarks.model_configs import get_model_config, list_model_configs
+from benchmarks.model_inference import check_correctness, parse_answer
+from benchmarks.perception_cache import CACHE_VERSION, PerceptionCache
+
+
+def mcq_sample(**kw):
+    defaults = dict(
+        sample_id="s1", benchmark_name="test",
+        question="Which violation?",
+        options=["gravity", "collision", "motion", "no violation"],
+        ground_truth="collision",
+        answer_format=AnswerFormat.MCQ,
+    )
+    defaults.update(kw)
+    return BenchmarkSample(**defaults)
+
+
+def binary_sample(**kw):
+    defaults = dict(
+        sample_id="s2", benchmark_name="test",
+        question="Is there a glitch?", options=["Yes", "No"],
+        ground_truth="Yes", answer_format=AnswerFormat.BINARY,
+        task_type=TaskType.GLITCH_DETECTION,
+    )
+    defaults.update(kw)
+    return BenchmarkSample(**defaults)
+
+
+class TestSampleSchema:
+    def test_prompt_letters_options(self):
+        prompt = mcq_sample().get_prompt()
+        assert "A) gravity" in prompt and "D) no violation" in prompt
+        assert "letter" in prompt
+
+    def test_formatted_prompt_alias(self):
+        s = mcq_sample()
+        assert s.get_formatted_prompt() == s.get_prompt()
+
+
+class TestAnswerParsing:
+    def test_mcq_letter(self):
+        assert parse_answer("The answer is B.", mcq_sample()) == "collision"
+        assert parse_answer("(C)", mcq_sample()) == "motion"
+
+    def test_mcq_option_text(self):
+        assert parse_answer(
+            "clearly a collision issue", mcq_sample()) == "collision"
+
+    def test_answer_section_preferred(self):
+        text = ("**Reasoning:** A is tempting...\n"
+                "**Answer:** B) collision")
+        assert parse_answer(text, mcq_sample()) == "collision"
+
+    def test_binary_yes(self):
+        assert parse_answer("Yes, there is a glitch at [00:10].",
+                            binary_sample()) == "Yes"
+
+    def test_binary_negation_aware(self):
+        assert parse_answer("There is no glitch in this footage.",
+                            binary_sample()) == "No"
+        assert parse_answer("I do not see any bug here.",
+                            binary_sample()) == "No"
+
+    def test_correctness_binary_and_mcq(self):
+        assert check_correctness("Yes", binary_sample())
+        assert not check_correctness("No", binary_sample())
+        assert check_correctness("collision", mcq_sample())
+        # letter ground truth
+        s = mcq_sample(ground_truth="B")
+        assert check_correctness("collision", s)
+
+
+class TestLoaders:
+    def test_synthetic_fallback(self):
+        loader = GlitchBenchLoader(BenchmarkConfig(
+            data_dir="/nonexistent", synthetic=True, max_samples=5))
+        samples = loader.load()
+        assert len(samples) == 5
+        assert samples[0].video_path.startswith("synthetic://")
+        stats = loader.get_statistics()
+        assert stats["total_samples"] == 5
+
+    def test_physgame_json(self, tmp_path):
+        ann = [{"id": "p1", "video": "v1.mp4", "class": "mechanics",
+                "answer": "gravity", "question": "what violation?"}]
+        (tmp_path / "annotations.json").write_text(json.dumps(ann))
+        loader = PhysGameLoader(BenchmarkConfig(data_dir=str(tmp_path)))
+        samples = loader.load()
+        assert len(samples) == 1
+        assert samples[0].ground_truth == "gravity"
+        assert "gravity" in samples[0].options
+        assert len(samples[0].options) == 4
+
+    def test_videogameqa_task_files(self, tmp_path):
+        (tmp_path / "glitch_detection.json").write_text(json.dumps(
+            [{"question": "q?", "answer": "Yes", "image": "i.png"}]))
+        (tmp_path / "bug_report.json").write_text(json.dumps(
+            [{"question": "report?", "answer": "text"}]))
+        loader = VideoGameQALoader(BenchmarkConfig(data_dir=str(tmp_path)))
+        samples = loader.load()
+        tasks = {s.task_type for s in samples}
+        assert TaskType.GLITCH_DETECTION in tasks
+        assert TaskType.BUG_REPORT in tasks
+
+    def test_mlvu_duration_filter(self, tmp_path):
+        (tmp_path / "1_plotQA.json").write_text(json.dumps([
+            {"question": "a", "answer": "x", "duration": 200,
+             "candidates": ["x", "y"]},
+            {"question": "b", "answer": "y", "duration": 4000,
+             "candidates": ["x", "y"]},
+        ]))
+        loader = MLVULoader(BenchmarkConfig(
+            data_dir=str(tmp_path), max_duration_sec=1000))
+        assert len(loader.load()) == 1
+
+    def test_glitchbench_dir_scan(self, tmp_path):
+        (tmp_path / "images").mkdir()
+        (tmp_path / "images" / "g1.png").write_bytes(b"fake")
+        loader = GlitchBenchLoader(BenchmarkConfig(data_dir=str(tmp_path)))
+        samples = loader.load()
+        assert len(samples) == 1 and samples[0].ground_truth == "Yes"
+
+
+class TestMetrics:
+    def test_tracker_lifecycle(self, tmp_path):
+        tracker = MetricsTracker(tmp_path)
+        tracker.start_sample("s1", "bench", "cfg", task_type="visual_qa")
+        tracker.record_stage("generation", 1.5)
+        metrics = tracker.end_sample(predicted="Yes", ground_truth="Yes",
+                                     correct=True, num_frames=10)
+        assert metrics.generation_time_sec == 1.5
+        tracker.start_sample("s2", "bench", "cfg")
+        tracker.end_sample(predicted="No", ground_truth="Yes", correct=False)
+        aggs = tracker.compute_aggregates()
+        assert len(aggs) == 1
+        assert aggs[0].accuracy == 0.5
+        assert aggs[0].by_task["visual_qa"]["accuracy"] == 1.0
+        out = tracker.save_results("exp")
+        assert (out / "samples.json").exists()
+        assert (out / "aggregates.json").exists()
+        assert (out / "summary.txt").exists()
+
+    def test_errors_counted(self, tmp_path):
+        tracker = MetricsTracker(tmp_path)
+        tracker.start_sample("s1", "b", "c")
+        tracker.end_sample(error="boom")
+        agg = tracker.compute_aggregates()[0]
+        assert agg.num_errors == 1 and agg.accuracy == 0.0
+
+
+class TestPerceptionCache:
+    def test_roundtrip_and_version(self, tmp_path):
+        cache = PerceptionCache(tmp_path)
+        arrays = {"siglip": np.ones((3, 8), np.float32)}
+        artifacts = {"timeline": {"events": [1, 2, 3]}}
+        cache.save("video.mp4", arrays, artifacts)
+        assert cache.has("video.mp4")
+        loaded = cache.load("video.mp4")
+        assert loaded["metadata"]["cache_version"] == CACHE_VERSION
+        np.testing.assert_array_equal(loaded["siglip"], arrays["siglip"])
+        assert loaded["timeline"]["events"] == [1, 2, 3]
+
+    def test_invalidate(self, tmp_path):
+        cache = PerceptionCache(tmp_path)
+        cache.save("v.mp4", artifacts={"x": {}})
+        assert cache.invalidate("v.mp4")
+        assert not cache.has("v.mp4")
+        assert not cache.invalidate("v.mp4")
+
+    def test_stats_and_index(self, tmp_path):
+        cache = PerceptionCache(tmp_path)
+        cache.save("a.mp4", artifacts={"x": {}})
+        cache.save("b.mp4", artifacts={"x": {}})
+        stats = cache.get_statistics()
+        assert stats["num_entries"] == 2
+        index = json.loads((tmp_path / "index.json").read_text())
+        assert len(index) == 2
+
+
+class TestModelConfigs:
+    def test_registry(self):
+        assert set(list_model_configs()) == {
+            "baseline_plain", "gvp_light", "gvp_full"}
+        base = get_model_config("baseline_plain")
+        assert not base.use_timeline and not base.use_sam
+        full = get_model_config("gvp_full")
+        assert full.use_hico and full.fps == 8.0
+        with pytest.raises(KeyError):
+            get_model_config("nope")
