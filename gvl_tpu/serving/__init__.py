@@ -1,0 +1,5 @@
+"""HTTP serving API for the perception-reasoning pipeline."""
+
+from gvl_tpu.serving.api import InferenceService, create_server, serve
+
+__all__ = ["InferenceService", "create_server", "serve"]

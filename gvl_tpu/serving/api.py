@@ -1,0 +1,195 @@
+"""HTTP serving for gameplay-video QA (the reference ships an EMPTY
+``deploy_api.py`` despite advertising fastapi/uvicorn — this one is real).
+
+Stdlib-only (ThreadingHTTPServer + JSON): no web-framework dependency.
+
+Endpoints
+---------
+- ``GET  /health``            — liveness + loaded videos
+- ``POST /process``           — ``{"video": path}`` → run/load perception
+- ``POST /query``             — ``{"video": path, "question": str,
+                                   "timestamp"?: float}`` → answer
+- ``POST /query/stream``      — same, chunked text/plain streaming
+- ``GET  /timeline?video=..`` — timeline statistics + transcript
+- ``GET  /status``            — per-video loop status
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceService:
+    """Owns processed videos and routes questions to their loops."""
+
+    def __init__(self, config=None):
+        from gvl_tpu.config import load_preset
+
+        self.config = config or load_preset("light")
+        self._videos: dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    def process(self, video: str) -> dict:
+        from scripts.realtime_inference import process_video
+
+        with self._lock:
+            if video not in self._videos:
+                self._videos[video] = process_video(video, self.config)
+        processed = self._videos[video]
+        return {
+            "video": video,
+            "timeline": processed.timeline.get_statistics(),
+        }
+
+    def query(self, video: str, question: str,
+              timestamp: Optional[float] = None) -> dict:
+        from scripts.realtime_inference import answer_query
+
+        if video not in self._videos:
+            self.process(video)
+        processed = self._videos[video]
+        if timestamp is None:
+            timestamp = (
+                processed.loop.reasoning_core.retriever.parse_timestamp(
+                    question)
+            )
+        answer = answer_query(processed, question, timestamp)
+        summary = processed.loop.reasoning_core.get_conversation_summary()
+        return {
+            "video": video,
+            "question": question,
+            "answer": answer,
+            "turn_count": summary["turn_count"],
+        }
+
+    def query_stream(self, video: str, question: str,
+                     timestamp: Optional[float] = None):
+        from scripts.realtime_inference import answer_query_streaming
+
+        if video not in self._videos:
+            self.process(video)
+        processed = self._videos[video]
+        if timestamp is None:
+            timestamp = (
+                processed.loop.reasoning_core.retriever.parse_timestamp(
+                    question)
+            )
+        yield from answer_query_streaming(processed, question, timestamp)
+
+    def timeline(self, video: str) -> dict:
+        if video not in self._videos:
+            self.process(video)
+        processed = self._videos[video]
+        return {
+            "video": video,
+            "statistics": processed.timeline.get_statistics(),
+            "transcript": processed.timeline.build_structured_transcript(),
+        }
+
+    def status(self) -> dict:
+        return {
+            "videos": {
+                video: processed.loop.get_status()
+                for video, processed in self._videos.items()
+            },
+        }
+
+    def health(self) -> dict:
+        return {"status": "ok", "loaded_videos": list(self._videos)}
+
+
+def _make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            logger.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if not length:
+                return {}
+            return json.loads(self.rfile.read(length))
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            params = urllib.parse.parse_qs(parsed.query)
+            try:
+                if parsed.path == "/health":
+                    self._json(200, service.health())
+                elif parsed.path == "/status":
+                    self._json(200, service.status())
+                elif parsed.path == "/timeline":
+                    video = params.get("video", [None])[0]
+                    if not video:
+                        self._json(400, {"error": "missing ?video="})
+                    else:
+                        self._json(200, service.timeline(video))
+                else:
+                    self._json(404, {"error": f"unknown path {parsed.path}"})
+            except Exception as exc:
+                logger.exception("GET %s failed", self.path)
+                self._json(500, {"error": str(exc)})
+
+        def do_POST(self):
+            try:
+                body = self._read_body()
+                if self.path == "/process":
+                    self._json(200, service.process(body["video"]))
+                elif self.path == "/query":
+                    self._json(200, service.query(
+                        body["video"], body["question"],
+                        body.get("timestamp"),
+                    ))
+                elif self.path == "/query/stream":
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for piece in service.query_stream(
+                        body["video"], body["question"],
+                        body.get("timestamp"),
+                    ):
+                        data = piece.encode()
+                        self.wfile.write(
+                            f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
+            except KeyError as exc:
+                self._json(400, {"error": f"missing field {exc}"})
+            except Exception as exc:
+                logger.exception("POST %s failed", self.path)
+                self._json(500, {"error": str(exc)})
+
+    return Handler
+
+
+def create_server(
+    host: str = "127.0.0.1", port: int = 8080, config=None,
+    service: Optional[InferenceService] = None,
+) -> ThreadingHTTPServer:
+    service = service or InferenceService(config)
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server.service = service  # type: ignore[attr-defined]
+    return server
+
+
+def serve(host: str = "0.0.0.0", port: int = 8080, config=None) -> None:
+    server = create_server(host, port, config)
+    logger.info("serving on %s:%d", host, port)
+    server.serve_forever()

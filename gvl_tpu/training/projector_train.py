@@ -1,0 +1,254 @@
+"""Projector training: generative alignment against a frozen LLM.
+
+The reference objective (`/root/reference/scripts/train_projectors.py:519-586`):
+project an encoder embedding, prepend it to the token embeddings of a text
+context, teacher-force the frozen LLM, and take cross-entropy only on the
+target span.  Gradients flow through the frozen LLM into the projector.
+Fallback objectives when no LLM is available: cosine alignment against a
+text embedding, then norm regularization toward sqrt(llm_dim).
+
+TPU-first deltas: samples are batched per modality (the reference steps
+one sample at a time through the LLM), the whole step is one jitted
+program, and batches shard over the mesh's data axis.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gvl_tpu.agent.config import ReasoningCoreConfig
+from gvl_tpu.models.projector import MODALITY_DIMS, ProjectorBank
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ProjectorTrainingConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    epochs: int = 3
+    batch_size: int = 8
+    warmup_steps: int = 20
+    max_target_tokens: int = 32
+    llm_dim: int = 4096  # single source of truth (COMPAT.md #4)
+    seed: int = 0
+    output_path: str = "outputs/projector_weights.pt"
+
+
+class MultimodalProjectorDataset:
+    """Pairs saved embeddings with nearby-event text contexts.
+
+    Reads ``*_embeddings.npz`` (or reference ``.pt``) plus the sibling
+    ``*_features.json`` written by ``scripts/extract_features.py``; each
+    embedding is paired with the timeline text closest to its timestamp.
+    """
+
+    MODALITY_KEYS = {"siglip": "siglip", "videomae": "videomae",
+                     "audio": "wav2vec2"}
+
+    def __init__(self, features_dir: str | Path):
+        self.features_dir = Path(features_dir)
+        self.samples: list[dict] = []
+        self._load()
+
+    def _load(self) -> None:
+        for emb_path in sorted(self.features_dir.glob("*_embeddings.npz")):
+            stem = emb_path.name.removesuffix("_embeddings.npz")
+            texts = self._load_texts(stem)
+            with np.load(emb_path) as z:
+                for modality, key in self.MODALITY_KEYS.items():
+                    if key not in z or len(z[key]) == 0:
+                        continue
+                    ts = z.get(f"{key}_ts", np.arange(len(z[key])))
+                    for i, emb in enumerate(z[key]):
+                        t = float(ts[i]) if i < len(ts) else 0.0
+                        self.samples.append({
+                            "modality": modality,
+                            "embedding": np.asarray(emb, np.float32),
+                            "text": self._nearest_text(texts, t),
+                            "timestamp": t,
+                        })
+        logger.info("projector dataset: %d samples from %s",
+                    len(self.samples), self.features_dir)
+
+    def _load_texts(self, stem: str) -> list[tuple[float, str]]:
+        feats = self.features_dir / f"{stem}_features.json"
+        out: list[tuple[float, str]] = []
+        if feats.exists():
+            doc = json.loads(feats.read_text())
+            for row in doc.get("ocr", []):
+                for text in row.get("texts", []):
+                    out.append((float(row.get("timestamp", 0.0)), text))
+            for row in doc.get("transcription", []):
+                out.append((float(row.get("start", 0.0)), row.get("text", "")))
+            for ent in doc.get("entities", []):
+                out.append((0.0, f"{ent.get('concept', 'entity')} visible"))
+        return out or [(0.0, "gameplay footage")]
+
+    @staticmethod
+    def _nearest_text(texts: list[tuple[float, str]], t: float) -> str:
+        return min(texts, key=lambda pair: abs(pair[0] - t))[1]
+
+    def batches(
+        self, modality: str, batch_size: int, rng: np.random.Generator
+    ) -> Iterator[dict]:
+        rows = [s for s in self.samples if s["modality"] == modality]
+        if not rows:
+            return
+        order = rng.permutation(len(rows))
+        for start in range(0, len(rows) - batch_size + 1, batch_size):
+            chunk = [rows[i] for i in order[start: start + batch_size]]
+            yield {
+                "embedding": np.stack([c["embedding"] for c in chunk]),
+                "text": [c["text"] for c in chunk],
+            }
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+class ProjectorTrainer:
+    """Generative-alignment training loop over a frozen LLM.
+
+    ``llm`` supplies ``(model, variables, tokenize)``; when None, training
+    falls back to the cosine/norm objective so the loop stays runnable
+    without a checkpoint.
+    """
+
+    def __init__(
+        self,
+        config: Optional[ProjectorTrainingConfig] = None,
+        reasoning_config: Optional[ReasoningCoreConfig] = None,
+        llm=None,  # (Qwen3Model, variables, tokenize_fn) or None
+        mesh=None,
+    ):
+        self.config = config or ProjectorTrainingConfig()
+        self.reasoning_config = reasoning_config or ReasoningCoreConfig(
+            llm_hidden_dim=self.config.llm_dim
+        )
+        self.bank = ProjectorBank(self.reasoning_config).init(
+            jax.random.PRNGKey(self.config.seed)
+        )
+        self.llm = llm
+        self.mesh = mesh
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.config.grad_clip),
+            optax.adamw(
+                optax.warmup_cosine_decay_schedule(
+                    0.0, self.config.learning_rate, self.config.warmup_steps,
+                    decay_steps=1000,
+                ),
+                weight_decay=self.config.weight_decay,
+            ),
+        )
+        self._step_fns: dict[str, callable] = {}
+
+    # ----------------------------------------------------------- objectives
+
+    def _make_step(self, modality: str):
+        module = self.bank.module
+        tx = self.tx
+        llm = self.llm
+        target_dim = self.reasoning_config.llm_hidden_dim
+
+        if llm is not None:
+            model, variables, _ = llm
+
+            def loss_fn(params, emb, token_ids, target_mask):
+                projected = module.apply({"params": params}, emb)[:, None, :]
+                token_embeds = model.apply(
+                    variables, token_ids, method=type(model).embed_only
+                )
+                inputs = jnp.concatenate(
+                    [projected.astype(token_embeds.dtype), token_embeds],
+                    axis=1,
+                )
+                logits, _ = model.apply(variables, inputs_embeds=inputs)
+                # predict token t from position t (projected token shifts
+                # everything right by one)
+                logits = logits[:, :-1]
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, token_ids
+                )
+                return (ce * target_mask).sum() / jnp.maximum(
+                    target_mask.sum(), 1.0
+                )
+        else:
+
+            def loss_fn(params, emb, token_ids, target_mask):
+                projected = module.apply({"params": params}, emb)
+                # norm regularization toward sqrt(llm_dim)
+                norms = jnp.linalg.norm(projected, axis=-1)
+                return jnp.mean((norms - jnp.sqrt(float(target_dim))) ** 2)
+
+        @jax.jit
+        def step(params, opt_state, emb, token_ids, target_mask):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, emb, token_ids, target_mask
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def _tokenize_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(token_ids [B, T], target_mask [B, T]) padded to max_target."""
+        max_len = self.config.max_target_tokens
+        if self.llm is not None:
+            _, _, tokenize = self.llm
+        else:
+            from gvl_tpu.models.sam import hash_tokenize
+
+            tokenize = lambda text: hash_tokenize(text, 512, max_len).tolist()
+        ids = np.zeros((len(texts), max_len), np.int32)
+        mask = np.zeros((len(texts), max_len), np.float32)
+        for i, text in enumerate(texts):
+            toks = list(tokenize(text))[:max_len]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1.0
+        return ids, mask
+
+    # -------------------------------------------------------------- train
+
+    def train(self, dataset: MultimodalProjectorDataset) -> dict:
+        rng = np.random.default_rng(self.config.seed)
+        history: dict[str, list[float]] = {}
+        best_loss = float("inf")
+        opt_states = {
+            m: self.tx.init(self.bank.params[m]) for m in MODALITY_DIMS
+        }
+        for epoch in range(self.config.epochs):
+            epoch_losses = []
+            for modality in ("siglip", "videomae", "audio"):
+                step = self._step_fns.setdefault(
+                    modality, self._make_step(modality))
+                for batch in dataset.batches(
+                    modality, self.config.batch_size, rng
+                ):
+                    ids, mask = self._tokenize_batch(batch["text"])
+                    params, opt_states[modality], loss = step(
+                        self.bank.params[modality], opt_states[modality],
+                        jnp.asarray(batch["embedding"]),
+                        jnp.asarray(ids), jnp.asarray(mask),
+                    )
+                    self.bank.params[modality] = params
+                    loss = float(loss)
+                    epoch_losses.append(loss)
+                    history.setdefault(modality, []).append(loss)
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+            logger.info("epoch %d: mean loss %.4f", epoch, mean_loss)
+            if mean_loss < best_loss and epoch_losses:
+                best_loss = mean_loss
+                self.bank.save_weights(self.config.output_path)
+                logger.info("checkpointed best (loss %.4f)", best_loss)
+        return {"best_loss": best_loss, "history": history}

@@ -1,0 +1,227 @@
+"""Training loops (projector alignment, LoRA SFT) + serving API."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gvl_tpu.agent.config import ReasoningCoreConfig
+from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+from gvl_tpu.training import (
+    LoraTrainer,
+    LoraTrainingConfig,
+    MultimodalProjectorDataset,
+    ProjectorTrainer,
+    ProjectorTrainingConfig,
+    load_chat_training_data,
+)
+
+
+def tiny_reasoning_config():
+    return ReasoningCoreConfig(
+        siglip_dim=32, videomae_dim=16, internvideo_dim=24,
+        audiomae_dim=20, wav2vec2_dim=20, llm_hidden_dim=64,
+    )
+
+
+def write_features(tmp_path, n=6):
+    np.savez(
+        tmp_path / "vid_embeddings.npz",
+        siglip=np.random.randn(n, 32).astype(np.float32),
+        siglip_ts=np.arange(n, dtype=np.float64),
+        videomae=np.random.randn(2, 16).astype(np.float32),
+        videomae_ts=np.asarray([0.0, 4.0]),
+        wav2vec2=np.random.randn(2, 20).astype(np.float32),
+        wav2vec2_ts=np.asarray([0.0, 10.0]),
+    )
+    (tmp_path / "vid_features.json").write_text(json.dumps({
+        "ocr": [{"timestamp": 1.0, "texts": ["HP 100/100"]}],
+        "transcription": [{"start": 3.0, "end": 4.0, "text": "watch out"}],
+        "entities": [{"concept": "boss"}],
+    }))
+
+
+class TestProjectorTraining:
+    def test_dataset_pairs_embeddings_with_text(self, tmp_path):
+        write_features(tmp_path)
+        ds = MultimodalProjectorDataset(tmp_path)
+        assert len(ds) == 10
+        sample = next(s for s in ds.samples if s["modality"] == "siglip"
+                      and s["timestamp"] == 1.0)
+        assert sample["text"] == "HP 100/100"
+
+    def test_norm_objective_decreases_loss(self, tmp_path):
+        write_features(tmp_path, n=16)
+        ds = MultimodalProjectorDataset(tmp_path)
+        trainer = ProjectorTrainer(
+            ProjectorTrainingConfig(
+                epochs=4, batch_size=4, learning_rate=1e-2,
+                llm_dim=64, output_path=str(tmp_path / "w.pt")),
+            reasoning_config=tiny_reasoning_config(),
+        )
+        result = trainer.train(ds)
+        history = result["history"]["siglip"]
+        assert history[-1] < history[0]
+        assert (tmp_path / "w.pt").exists()
+
+    def test_generative_alignment_with_frozen_llm(self, tmp_path):
+        write_features(tmp_path, n=8)
+        ds = MultimodalProjectorDataset(tmp_path)
+        cfg = Qwen3Config.tiny()
+        model = Qwen3Model(cfg)
+        variables = {"params": model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]}
+        from gvl_tpu.models.sam import hash_tokenize
+
+        tokenize = lambda t: hash_tokenize(t, cfg.vocab_size, 8).tolist()
+        trainer = ProjectorTrainer(
+            ProjectorTrainingConfig(
+                epochs=2, batch_size=4, llm_dim=cfg.hidden_size,
+                max_target_tokens=8, output_path=str(tmp_path / "w.pt")),
+            reasoning_config=tiny_reasoning_config(),
+            llm=(model, variables, tokenize),
+        )
+        before = {k: np.asarray(v["fc_in"]["kernel"]).copy()
+                  for k, v in trainer.bank.params.items()}
+        result = trainer.train(ds)
+        assert result["best_loss"] < float("inf")
+        # projector weights actually moved (grads flowed through frozen LLM)
+        moved = np.abs(
+            np.asarray(trainer.bank.params["siglip"]["fc_in"]["kernel"])
+            - before["siglip"]).max()
+        assert moved > 0
+
+
+class TestLoraTraining:
+    def make(self, tmp_path):
+        cfg = Qwen3Config.tiny(lora_rank=4, max_cache_length=64)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        from gvl_tpu.models.sam import hash_tokenize
+
+        tokenize = lambda t: [x for x in
+                              hash_tokenize(t, cfg.vocab_size, 16).tolist()
+                              if x != 0]
+        trainer = LoraTrainer(
+            model, params, tokenize,
+            LoraTrainingConfig(
+                epochs=2, max_seq_len=48, grad_accum_steps=1,
+                learning_rate=1e-2, output_dir=str(tmp_path / "lora")),
+        )
+        return trainer
+
+    def data(self):
+        return [
+            {"messages": [
+                {"role": "user", "content": "what happened"},
+                {"role": "assistant", "content": "the boss died at one"},
+            ]},
+            {"messages": [
+                {"role": "user", "content": "why did we lose"},
+                {"role": "assistant", "content": "fire attack killed us"},
+            ]},
+        ]
+
+    def test_only_lora_params_update(self, tmp_path):
+        trainer = self.make(tmp_path)
+        base_before = np.asarray(
+            trainer.params["layers_0"]["self_attn"]["q_proj"]["base"]["kernel"]
+        ).copy()
+        lora_before = np.asarray(
+            trainer.params["layers_0"]["self_attn"]["q_proj"]["lora_b"]).copy()
+        trainer.train(self.data())
+        base_after = np.asarray(
+            trainer.params["layers_0"]["self_attn"]["q_proj"]["base"]["kernel"])
+        lora_after = np.asarray(
+            trainer.params["layers_0"]["self_attn"]["q_proj"]["lora_b"])
+        np.testing.assert_array_equal(base_before, base_after)
+        assert np.abs(lora_after - lora_before).max() > 0
+
+    def test_adapter_roundtrip(self, tmp_path):
+        trainer = self.make(tmp_path)
+        trainer.train(self.data())
+        adapter_path = tmp_path / "lora" / "adapter_final.npz"
+        assert adapter_path.exists()
+        trained = trainer.extract_adapter()
+        # load into a fresh trainer and compare
+        fresh = self.make(tmp_path)
+        fresh.load_adapter(adapter_path)
+        for key, value in fresh.extract_adapter().items():
+            np.testing.assert_array_equal(value, trained[key])
+
+    def test_dry_run(self, tmp_path):
+        trainer = self.make(tmp_path)
+        report = trainer.dry_run(self.data())
+        assert report["num_valid"] == 2
+        assert report["mean_target_tokens"] > 0
+
+    def test_load_chat_data_validation(self, tmp_path):
+        path = tmp_path / "d.json"
+        path.write_text(json.dumps([
+            {"messages": [{"role": "user", "content": "q"},
+                          {"role": "assistant", "content": "a"}]},
+            {"messages": [{"role": "user", "content": "only user"}]},
+        ]))
+        data = load_chat_training_data(path)
+        assert len(data) == 1
+
+
+class TestServingAPI:
+    @pytest.fixture(scope="class")
+    def server(self):
+        from gvl_tpu.serving import create_server
+
+        server = create_server(port=0)  # ephemeral port
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+        server.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    def test_health(self, server):
+        with urllib.request.urlopen(server + "/health", timeout=30) as resp:
+            doc = json.loads(resp.read())
+        assert doc["status"] == "ok"
+
+    def test_process_and_query(self, server):
+        video = "synthetic://api_test?duration=8&fps=2"
+        doc = self._post(server + "/process", {"video": video})
+        assert doc["timeline"]["total_events"] > 0
+        answer = self._post(server + "/query", {
+            "video": video, "question": "what happened at 0:02?"})
+        assert "**Answer:**" in answer["answer"]
+        assert answer["turn_count"] >= 2
+
+    def test_timeline_endpoint(self, server):
+        video = "synthetic://api_test?duration=8&fps=2"
+        with urllib.request.urlopen(
+            server + "/timeline?video=" + urllib.parse.quote(video),
+            timeout=120,
+        ) as resp:
+            doc = json.loads(resp.read())
+        assert "transcript" in doc
+
+    def test_missing_field_400(self, server):
+        req = urllib.request.Request(
+            server + "/query", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 400
+
+
+import urllib.parse  # noqa: E402  (used in tests above)
+import urllib.error  # noqa: E402
