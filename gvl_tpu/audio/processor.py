@@ -120,6 +120,13 @@ class AudioPreprocessor:
         path = Path(path)
         try:
             if path.suffix.lower() == ".wav":
+                try:  # C++ decoder first (handles 16/24/32-bit + float)
+                    from gvl_tpu.runtime import native_available, read_wav_native
+
+                    if native_available():
+                        return read_wav_native(path)
+                except Exception:
+                    pass
                 return self._read_wav(path)
             import scipy.io.wavfile as sciwav  # non-.wav PCM container
 

@@ -97,13 +97,13 @@ class Y4MReader:
         else:  # 444
             u = buf[w * h: 2 * w * h].reshape(h, w).astype(np.float32)
             v = buf[2 * w * h:].reshape(h, w).astype(np.float32)
-        # BT.601 limited-range YUV -> RGB
-        y = (y - 16.0) * (255.0 / 219.0)
+        # BT.601 limited-range YUV -> RGB (matches the native decoder)
+        y = 1.164 * (y - 16.0)
         u -= 128.0
         v -= 128.0
-        r = y + 1.402 * v
-        g = y - 0.344136 * u - 0.714136 * v
-        b = y + 1.772 * u
+        r = y + 1.596 * v
+        g = y - 0.392 * u - 0.813 * v
+        b = y + 2.017 * u
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(rgb, 0, 255).astype(np.uint8)
 
@@ -252,6 +252,23 @@ def extract_frames(
 
     path = Path(video_path)
     if path.suffix.lower() == ".y4m":
+        # prefer the C++ decoder + prefetch ring; pure-Python fallback
+        try:
+            from gvl_tpu.runtime import NativePrefetchSource, native_available
+
+            if native_available():
+                probe = Y4MReader(path)
+                step = max(1, int(round(probe.fps / fps)))
+                probe.close()
+                source = NativePrefetchSource(path, capacity=8, stride=step)
+                for ts, frame in source:
+                    out.append((ts, frame))
+                    if max_frames and len(out) >= max_frames:
+                        break
+                source.close()
+                return out
+        except Exception as exc:
+            logger.debug("native decode unavailable (%s); python path", exc)
         reader = Y4MReader(path)
         step = max(1, int(round(reader.fps / fps)))
         for i, frame in enumerate(reader):
