@@ -455,13 +455,21 @@ def create_reasoning_core(
     config = config or ReasoningCoreConfig()
     backend: ChatBackend
     if checkpoint_path:
+        from pathlib import Path
+
         from transformers import AutoTokenizer
 
-        from gvl_tpu.models.qwen3 import Qwen3Engine, load_hf_qwen3
+        from gvl_tpu.models.qwen3 import (
+            Qwen3Engine, load_adapter_and_merge, load_hf_qwen3,
+        )
 
         model, variables = load_hf_qwen3(checkpoint_path)
+        model_config = model.config
+        if lora_path and Path(lora_path, "adapter_config.json").exists():
+            model_config, variables = load_adapter_and_merge(
+                model_config, variables, lora_path)
         tokenizer = AutoTokenizer.from_pretrained(checkpoint_path)
-        engine = Qwen3Engine(model.config, variables)
+        engine = Qwen3Engine(model_config, variables)
         backend = Qwen3ChatBackend(engine, tokenizer)
     else:
         backend = TemplateFakeBackend()

@@ -46,10 +46,12 @@ class PerceptionReasoningLoop:
         projector_weights_path: Optional[str] = None,
         reasoning_core: Optional[ReasoningCore] = None,
         llm_checkpoint_path: Optional[str] = None,
+        lora_path: Optional[str] = None,
     ):
         self.config = config or ReasoningCoreConfig()
         self.reasoning_core = reasoning_core or create_reasoning_core(
-            self.config, checkpoint_path=llm_checkpoint_path
+            self.config, checkpoint_path=llm_checkpoint_path,
+            lora_path=lora_path,
         )
         self.trigger_detector = TriggerDetector(self.config)
         self.temporal_context = TemporalContextManager(self.config)

@@ -485,6 +485,69 @@ def convert_hf_qwen3(state_dict: dict[str, Any], config: Qwen3Config) -> dict:
     return jax.tree.map(jnp.asarray, params)
 
 
+def load_adapter_and_merge(
+    base_config: Qwen3Config,
+    base_variables: dict,
+    adapter_dir: str,
+) -> tuple[Qwen3Config, dict]:
+    """Fold a trained LoRA adapter (npz + adapter_config.json) into the
+    base weights for serving.  Returns (rank-0 config, merged variables)."""
+    import json
+    from pathlib import Path
+
+    adapter_dir = Path(adapter_dir)
+    meta = json.loads((adapter_dir / "adapter_config.json").read_text())
+    lora_cfg = Qwen3Config(**{
+        **{f.name: getattr(base_config, f.name)
+           for f in base_config.__dataclass_fields__.values()},
+        "lora_rank": int(meta["lora_rank"]),
+        "lora_alpha": float(meta["lora_alpha"]),
+        "lora_targets": tuple(meta.get("targets", base_config.lora_targets)),
+    })
+    model = Qwen3Model(lora_cfg)
+    seed = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )["params"]
+
+    def graft(dst, src):
+        for key, value in src.items():
+            if isinstance(value, dict):
+                graft(dst[key], value)
+            else:
+                dst[key] = value
+
+    import flax
+
+    params = flax.core.unfreeze(seed)
+    graft(params, base_variables["params"])
+
+    adapter_path = adapter_dir / "adapter_final.npz"
+    if not adapter_path.exists():
+        candidates = sorted(adapter_dir.glob("adapter_step*.npz"))
+        adapter_path = candidates[-1] if candidates else None
+    if adapter_path is not None:
+        with np.load(adapter_path) as z:
+            flat = {k: z[k] for k in z.files}
+
+        def load(tree, prefix=""):
+            for key, value in list(tree.items()):
+                path = f"{prefix}/{key}" if prefix else key
+                if isinstance(value, dict):
+                    load(value, path)
+                elif path in flat:
+                    tree[key] = jnp.asarray(flat[path])
+
+        load(params)
+
+    merged = merge_lora(params, lora_cfg)
+    base_cfg_plain = Qwen3Config(**{
+        **{f.name: getattr(lora_cfg, f.name)
+           for f in lora_cfg.__dataclass_fields__.values()},
+        "lora_rank": 0,
+    })
+    return base_cfg_plain, {"params": merged}
+
+
 def load_hf_qwen3(
     model_name_or_path: str, config: Optional[Qwen3Config] = None
 ) -> tuple[Qwen3Model, dict]:

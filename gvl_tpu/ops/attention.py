@@ -174,6 +174,17 @@ def flash_attention(
         num_k_blocks=nk,
     )
 
+    if causal:
+        # clamp the k index at the diagonal: past-diagonal steps map to the
+        # same block as the last needed one, so the pipeline skips their
+        # DMAs entirely (compute is already skipped via pl.when)
+        def kv_index(b, h, iq, ik, g=group):
+            last = jnp.minimum(((iq + 1) * block_q - 1) // block_k, nk - 1)
+            return (b, h // g, jnp.minimum(ik, last), 0)
+    else:
+        def kv_index(b, h, iq, ik, g=group):
+            return (b, h // g, ik, 0)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -182,14 +193,8 @@ def flash_attention(
                 (1, 1, block_q, pd),
                 lambda b, h, iq, ik: (b, h, iq, 0),
             ),
-            pl.BlockSpec(
-                (1, 1, block_k, pd),
-                lambda b, h, iq, ik, g=group: (b, h // g, ik, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, pd),
-                lambda b, h, iq, ik, g=group: (b, h // g, ik, 0),
-            ),
+            pl.BlockSpec((1, 1, block_k, pd), kv_index),
+            pl.BlockSpec((1, 1, block_k, pd), kv_index),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, pd),

@@ -34,6 +34,9 @@ class NaFlexConfig:
     model_name: str = "google/siglip2-so400m-patch14-384"
     dtype: str = "bfloat16"
     base_resolution: int = 384
+    # regions are small crops: encoding them on a 224 canvas costs ~35% of
+    # the 384 FLOPs ((16/27)^2 tokens) with negligible detail loss
+    region_resolution: int = 224
     min_resolution: int = 128
     max_resolution: int = 768
     preserve_aspect_ratio: bool = True
@@ -122,10 +125,12 @@ class RegionExtractor:
         x1, y1, x2, y2 = bbox
         return frame[y1:y2, x1:x2], bbox
 
-    def prepare(self, region: np.ndarray) -> tuple[np.ndarray, float]:
+    def prepare(
+        self, region: np.ndarray, canvas_size: int | None = None
+    ) -> tuple[np.ndarray, float]:
         """Region → normalized float32 [canvas, canvas, 3] + aspect."""
         canvas, aspect = self.resizer.resize_to_canvas(
-            region, self.config.base_resolution
+            region, canvas_size or self.config.base_resolution
         )
         x = canvas.astype(np.float32) / 255.0
         mean = np.asarray(self.config.image_mean, np.float32)
@@ -258,7 +263,8 @@ class SigLIPSemanticEncoder:
         prepared, metadata = [], []
         for entity_id, mask in masks:
             region, bbox = self.region_extractor.extract_masked_region(frame, mask)
-            tensor, aspect = self.region_extractor.prepare(region)
+            tensor, aspect = self.region_extractor.prepare(
+                region, self.config.region_resolution)
             prepared.append(tensor)
             metadata.append(
                 {"entity_id": entity_id, "bbox": bbox, "aspect_ratio": aspect}

@@ -225,3 +225,50 @@ class TestServingAPI:
 
 import urllib.parse  # noqa: E402  (used in tests above)
 import urllib.error  # noqa: E402
+
+
+class TestAdapterMerge:
+    def test_load_adapter_and_merge_equivalence(self, tmp_path):
+        """Merged-for-serving weights == base + live LoRA application."""
+        from gvl_tpu.models.qwen3 import (
+            Qwen3Config, Qwen3Model, load_adapter_and_merge,
+        )
+
+        cfg = Qwen3Config.tiny(lora_rank=4, max_cache_length=64)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        from gvl_tpu.models.sam import hash_tokenize
+
+        tokenize = lambda t: [x for x in
+                              hash_tokenize(t, cfg.vocab_size, 16).tolist()
+                              if x != 0]
+        trainer = LoraTrainer(
+            model, params, tokenize,
+            LoraTrainingConfig(epochs=2, max_seq_len=32, grad_accum_steps=1,
+                               learning_rate=1e-2,
+                               output_dir=str(tmp_path / "lora")))
+        trainer.train([
+            {"messages": [
+                {"role": "user", "content": "hello there friend"},
+                {"role": "assistant", "content": "general kenobi replies"},
+            ]},
+        ])
+        tokens = jnp.asarray([[5, 9, 33, 71]], jnp.int32)
+        with_lora, _ = model.apply({"params": trainer.params}, tokens)
+
+        # strip LoRA params to get "base-only" variables as a converter would
+        def strip(tree):
+            if isinstance(tree, dict):
+                return {k: strip(v) for k, v in tree.items()
+                        if k not in ("lora_a", "lora_b")}
+            return tree
+
+        base_cfg = Qwen3Config.tiny(lora_rank=0, max_cache_length=64)
+        base_vars = {"params": strip(trainer.params)}
+        merged_cfg, merged_vars = load_adapter_and_merge(
+            base_cfg, base_vars, tmp_path / "lora")
+        merged_out, _ = Qwen3Model(merged_cfg).apply(merged_vars, tokens)
+        np.testing.assert_allclose(
+            np.asarray(merged_out), np.asarray(with_lora),
+            atol=1e-4, rtol=1e-4)
