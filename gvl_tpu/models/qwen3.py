@@ -45,6 +45,7 @@ class Qwen3Config:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = False
     max_cache_length: int = 8192
+    scan_layers: bool = False  # nn.scan stack: 1-layer trace, [L,...] params
     # LoRA (reference finetune config: r=32, alpha=64, 7 targets,
     # /root/reference/scripts/finetune_lora.py:35-51)
     lora_rank: int = 0
@@ -78,6 +79,11 @@ class KVCache(NamedTuple):
     def zeros(cls, config: Qwen3Config, batch: int, dtype=jnp.bfloat16):
         shape = (batch, config.num_kv_heads, config.max_cache_length,
                  config.head_dim)
+        if config.scan_layers:  # one stacked array per side
+            stacked = (config.num_layers, *shape)
+            return cls(k=jnp.zeros(stacked, dtype),
+                       v=jnp.zeros(stacked, dtype),
+                       length=jnp.zeros((), jnp.int32))
         k = tuple(jnp.zeros(shape, dtype) for _ in range(config.num_layers))
         return cls(k=k, v=tuple(jnp.zeros(shape, dtype) for _ in k),
                    length=jnp.zeros((), jnp.int32))
@@ -205,17 +211,48 @@ class Qwen3Layer(nn.Module):
         return x + Qwen3Mlp(cfg, name="mlp")(h), new_k, new_v
 
 
+class _ScanLayerBody(nn.Module):
+    """nn.scan target: carry = (x, positions, cache_len); xs = (k, v)."""
+
+    config: Qwen3Config
+
+    @nn.compact
+    def __call__(self, carry, layer_cache):
+        x, positions, cache_len = carry
+        cache_k, cache_v = (None, None) if layer_cache is None else layer_cache
+        x, new_k, new_v = Qwen3Layer(self.config, name="layer")(
+            x, positions, cache_k, cache_v, cache_len
+        )
+        return (x, positions, cache_len), (new_k, new_v)
+
+
 class Qwen3Model(nn.Module):
-    """Decoder stack with optional KV cache and embedding injection."""
+    """Decoder stack with optional KV cache and embedding injection.
+
+    ``config.scan_layers`` switches the stack from an unrolled Python loop
+    to ``nn.scan`` with layer-stacked params ([L, ...] leading axis): one
+    traced layer regardless of depth, so a 36-layer model compiles in
+    roughly 1/36th of the unrolled trace and the cache is one stacked
+    array per side instead of 36.
+    """
 
     config: Qwen3Config
 
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size)
-        self.decoder_layers = [
-            Qwen3Layer(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)
-        ]
+        if cfg.scan_layers:
+            self.scanned = nn.scan(
+                _ScanLayerBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+            )(cfg, name="layers")
+        else:
+            self.decoder_layers = [
+                Qwen3Layer(cfg, name=f"layers_{i}")
+                for i in range(cfg.num_layers)
+            ]
         self.final_norm = RMSNorm(eps=cfg.rms_norm_eps)
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False)
@@ -234,15 +271,23 @@ class Qwen3Model(nn.Module):
         if positions is None:
             positions = jnp.arange(seq, dtype=jnp.int32)
 
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.decoder_layers):
-            if cache is None:
-                x, k, v = layer(x, positions)
-            else:
-                x, k, v = layer(x, positions, cache.k[i], cache.v[i],
-                                cache.length)
-            new_k.append(k)
-            new_v.append(v)
+        if cfg.scan_layers:
+            cache_len = None if cache is None else cache.length
+            xs = None if cache is None else (cache.k, cache.v)
+            (x, _, _), (new_k, new_v) = self.scanned(
+                (x, positions, cache_len), xs
+            )
+        else:
+            new_k_list, new_v_list = [], []
+            for i, layer in enumerate(self.decoder_layers):
+                if cache is None:
+                    x, k, v = layer(x, positions)
+                else:
+                    x, k, v = layer(x, positions, cache.k[i], cache.v[i],
+                                    cache.length)
+                new_k_list.append(k)
+                new_v_list.append(v)
+            new_k, new_v = tuple(new_k_list), tuple(new_v_list)
 
         x = self.final_norm(x)
         if cfg.tie_word_embeddings:
@@ -253,7 +298,7 @@ class Qwen3Model(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                k=tuple(new_k), v=tuple(new_v), length=cache.length + seq
+                k=new_k, v=new_v, length=cache.length + seq
             )
         return logits, new_cache
 
@@ -481,6 +526,13 @@ def convert_hf_qwen3(state_dict: dict[str, Any], config: Qwen3Config) -> dict:
                 "up_proj": proj("mlp.up_proj"),
                 "down_proj": proj("mlp.down_proj"),
             },
+        }
+    if config.scan_layers:
+        # stack per-layer trees into [L, ...] leaves under layers/layer
+        per_layer = [params.pop(f"layers_{i}")
+                     for i in range(config.num_layers)]
+        params["layers"] = {
+            "layer": jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
         }
     return jax.tree.map(jnp.asarray, params)
 

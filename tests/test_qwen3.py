@@ -211,3 +211,67 @@ class TestSharding:
         out_logits, _ = jax.jit(lambda v, t: model.apply(v, t))(sharded, tokens)
         np.testing.assert_allclose(
             np.asarray(out_logits), np.asarray(ref_logits), atol=1e-4)
+
+
+class TestScanLayers:
+    def test_scan_matches_unrolled(self, hf_pair):
+        """Scanned stack == unrolled stack on the same HF weights."""
+        import torch
+        from transformers import Qwen3Config as HFCfg, Qwen3ForCausalLM
+
+        hf_cfg = HFCfg(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, intermediate_size=128,
+            vocab_size=512, max_position_embeddings=256, rope_theta=10000.0,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf = Qwen3ForCausalLM(hf_cfg).eval()
+
+        cfg_scan = Qwen3Config.tiny(rope_theta=10000.0, scan_layers=True)
+        params_scan = convert_hf_qwen3(hf.state_dict(), cfg_scan)
+        tokens = jnp.asarray([[1, 45, 206, 77]], jnp.int32)
+        scan_logits, _ = Qwen3Model(cfg_scan).apply(
+            {"params": params_scan}, tokens)
+
+        _, cfg_plain, variables = hf_pair
+        plain_logits, _ = Qwen3Model(cfg_plain).apply(variables, tokens)
+        np.testing.assert_allclose(
+            np.asarray(scan_logits), np.asarray(plain_logits), atol=1e-4)
+
+    def test_scan_engine_decode_matches(self, hf_pair):
+        import torch
+        from transformers import Qwen3Config as HFCfg, Qwen3ForCausalLM
+
+        hf_cfg = HFCfg(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, intermediate_size=128,
+            vocab_size=512, max_position_embeddings=256, rope_theta=10000.0,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf = Qwen3ForCausalLM(hf_cfg).eval()
+        cfg_scan = Qwen3Config.tiny(rope_theta=10000.0, scan_layers=True)
+        params_scan = convert_hf_qwen3(hf.state_dict(), cfg_scan)
+        engine = Qwen3Engine(cfg_scan, {"params": params_scan},
+                             eos_token_id=-1, dtype=jnp.float32)
+        out_scan = engine.generate([7, 3, 99], max_new_tokens=5,
+                                   temperature=0.0)
+        _, cfg_plain, variables = hf_pair
+        engine_plain = Qwen3Engine(cfg_plain, variables, eos_token_id=-1,
+                                   dtype=jnp.float32)
+        out_plain = engine_plain.generate([7, 3, 99], max_new_tokens=5,
+                                          temperature=0.0)
+        assert out_scan == out_plain
+
+    def test_scan_sharding_right_aligned(self):
+        cfg = Qwen3Config.tiny(scan_layers=True)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        mesh = build_mesh(2, 4)
+        tree = sharding_tree(params, mesh, LLM_RULES)
+        flat = dict(zip(tree_paths(params), jax.tree.leaves(tree)))
+        q = next(v for k, v in flat.items()
+                 if "layers/layer/self_attn/q_proj/base/kernel" in k)
+        assert q.spec == P(None, None, "model")
