@@ -118,6 +118,43 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _attn_single_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    *, sm_scale: float, causal: bool, kv_len: Optional[int],
+    block_q: int, seq_k: int,
+):
+    """Fast path when all keys fit one block: plain softmax, no scratch.
+
+    Skips the online-softmax running max/normalizer/accumulator traffic
+    (several [BQ, 128] f32 reads+writes per step) that dominates VPU time
+    for encoder-length sequences.
+    """
+    iq = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+
+    if kv_len is not None and kv_len != seq_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        s = jnp.where(col <= row, s, NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    v = v_ref[0, 0]
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -150,8 +187,15 @@ def flash_attention(
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
     valid_kv = kv_len if kv_len is not None else seq_k
 
-    block_q = min(block_q, _round_up(seq_q, 8))
-    block_k = min(block_k, _round_up(seq_k, 8))
+    # split the sequence into equal chunks instead of naive clamping:
+    # e.g. seq 729 with max block 512 becomes 2x368 (1% pad) rather than
+    # 2x512 (40% pad)
+    def _pick_block(seq: int, maximum: int) -> int:
+        n_blocks = max(1, -(-seq // maximum))
+        return _round_up(-(-seq // n_blocks), 16)
+
+    block_q = _pick_block(seq_q, block_q)
+    block_k = _pick_block(seq_k, block_k)
 
     # Pad to block/lane multiples; padded keys are masked via valid_kv,
     # padded query rows and head-dim lanes are sliced off below.
@@ -162,6 +206,38 @@ def flash_attention(
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk - seq_k), (0, pd - head_dim)))
 
     nq, nk = pq // block_q, pk // block_k
+
+    if nk == 1:
+        # all keys in one block: plain-softmax kernel, no scratch
+        out = pl.pallas_call(
+            functools.partial(
+                _attn_single_kernel,
+                sm_scale=scale,
+                causal=causal,
+                kv_len=valid_kv,
+                block_q=block_q,
+                seq_k=pk,
+            ),
+            grid=(batch, num_q_heads, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, pd),
+                             lambda b, h, iq: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_k, pd),
+                             lambda b, h, iq, g=group: (b, h // g, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, pd),
+                             lambda b, h, iq, g=group: (b, h // g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, pd),
+                                   lambda b, h, iq: (b, h, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, num_q_heads, pq, pd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :, :seq_q, :head_dim]
+
     grid = (batch, num_q_heads, nq, nk)
 
     kernel = functools.partial(
