@@ -30,6 +30,11 @@ from gvl_tpu.ops.attention import attention_reference, dot_product_attention
 from gvl_tpu.ops.rope import apply_rope, rope_angles
 
 
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
 @dataclass(frozen=True)
 class Qwen3Config:
     """Defaults sized for Qwen3-VL-8B's text decoder."""
@@ -141,9 +146,16 @@ class Qwen3Attention(nn.Module):
         q = RMSNorm(eps=cfg.rms_norm_eps, name="q_norm")(q)
         k = RMSNorm(eps=cfg.rms_norm_eps, name="k_norm")(k)
 
+        # positions: [S] (shared) or [B, S] (per-slot, continuous batching)
         cos, sin = rope_angles(positions, d, cfg.rope_theta)
-        q = apply_rope(q.swapaxes(1, 2), cos, sin)      # [B, Hq, S, D]
-        k = apply_rope(k.swapaxes(1, 2), cos, sin)      # [B, Hkv, S, D]
+        if positions.ndim == 1:
+            cos, sin = cos[None, None], sin[None, None]   # [1, 1, S, D]
+        else:
+            cos, sin = cos[:, None], sin[:, None]          # [B, 1, S, D]
+        q = q.swapaxes(1, 2)                               # [B, Hq, S, D]
+        k = k.swapaxes(1, 2)
+        q = (q * cos + _rotate_half(q) * sin).astype(q.dtype)
+        k = (k * cos + _rotate_half(k) * sin).astype(k.dtype)
         v = v.swapaxes(1, 2)
 
         if cache_k is None:
@@ -151,12 +163,21 @@ class Qwen3Attention(nn.Module):
             out = dot_product_attention(q, k, v, causal=True)
             new_k, new_v = k, v
         else:
-            new_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0)
-            )
-            new_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0)
-            )
+            # cache_len: scalar (one sequence) or [B] (per-slot lengths)
+            if jnp.ndim(cache_len) == 0:
+                new_k = jax.lax.dynamic_update_slice(
+                    cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0)
+                )
+                new_v = jax.lax.dynamic_update_slice(
+                    cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0)
+                )
+            else:
+                write = jax.vmap(
+                    lambda ck, kk, start: jax.lax.dynamic_update_slice(
+                        ck, kk, (0, start, 0))
+                )
+                new_k = write(cache_k, k.astype(cache_k.dtype), cache_len)
+                new_v = write(cache_v, v.astype(cache_v.dtype), cache_len)
             if seq > 1:
                 # prefill into an empty cache: causal flash over the prompt
                 # only (rows past the true length are masked at decode time)
@@ -171,7 +192,9 @@ class Qwen3Attention(nn.Module):
                     "bhqd,bhkd->bhqk", q, kf,
                     preferred_element_type=jnp.float32,
                 ) / np.sqrt(d)
-                live = jnp.arange(s_max)[None, None, None, :] <= cache_len
+                lengths = jnp.broadcast_to(jnp.atleast_1d(cache_len), (batch,))
+                live = (jnp.arange(s_max)[None, None, None, :]
+                        <= lengths[:, None, None, None])
                 scores = jnp.where(live, scores, -1e30)
                 probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
                 out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)

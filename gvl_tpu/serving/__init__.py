@@ -1,5 +1,11 @@
 """HTTP serving API for the perception-reasoning pipeline."""
 
 from gvl_tpu.serving.api import InferenceService, create_server, serve
+from gvl_tpu.serving.batch_engine import ContinuousBatchingEngine
 
-__all__ = ["InferenceService", "create_server", "serve"]
+__all__ = [
+    "InferenceService",
+    "create_server",
+    "serve",
+    "ContinuousBatchingEngine",
+]

@@ -1,0 +1,76 @@
+"""Continuous batching engine vs the single-request engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Engine, Qwen3Model
+from gvl_tpu.serving.batch_engine import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def model_setup():
+    cfg = Qwen3Config.tiny(max_cache_length=64)
+    model = Qwen3Model(cfg)
+    variables = {"params": model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]}
+    return cfg, variables
+
+
+PROMPTS = [[7, 3, 99], [1, 45, 206, 77], [5, 5, 5]]
+
+
+def single_engine_outputs(cfg, variables, max_new=6):
+    engine = Qwen3Engine(cfg, variables, eos_token_id=-1, dtype=jnp.float32)
+    return [engine.generate(p, max_new_tokens=max_new, temperature=0.0)
+            for p in PROMPTS]
+
+
+class TestContinuousBatching:
+    def test_matches_single_request_greedy(self, model_setup):
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=3,
+            dtype=jnp.float32, temperature=0.0)
+        results = engine.generate_many(PROMPTS, max_new_tokens=6)
+        assert results == expected
+
+    def test_more_requests_than_slots(self, model_setup):
+        """3 requests through 2 slots: queueing + slot reuse."""
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=4)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        results = engine.generate_many(PROMPTS, max_new_tokens=4)
+        assert results == [e[:4] for e in expected]
+
+    def test_eos_frees_slot(self, model_setup):
+        cfg, variables = model_setup
+        # discover the greedy first token of prompt 0, use it as EOS
+        probe = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                            dtype=jnp.float32)
+        eos = probe.generate(PROMPTS[0], max_new_tokens=1, temperature=0.0)[0]
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=eos, num_slots=1,
+            dtype=jnp.float32, temperature=0.0)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=8)
+        rid2 = engine.submit(PROMPTS[1], max_new_tokens=3)
+        results = engine.run()
+        assert results[rid1] == []  # stopped at EOS immediately
+        assert len(results[rid2]) <= 3
+
+    def test_step_returns_per_request_tokens(self, model_setup):
+        cfg, variables = model_setup
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        ra = engine.submit(PROMPTS[0], max_new_tokens=3)
+        rb = engine.submit(PROMPTS[1], max_new_tokens=3)
+        produced = engine.step()
+        assert set(produced) == {ra, rb}
+        assert engine.has_work
+        engine.run()
+        assert not engine.has_work
