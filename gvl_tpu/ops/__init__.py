@@ -5,12 +5,14 @@ from gvl_tpu.ops.attention import (
     dot_product_attention,
     flash_attention,
 )
+from gvl_tpu.ops.ring_attention import ring_attention
 from gvl_tpu.ops.rope import apply_rope, rope_angles
 
 __all__ = [
     "dot_product_attention",
     "flash_attention",
     "attention_reference",
+    "ring_attention",
     "apply_rope",
     "rope_angles",
 ]
