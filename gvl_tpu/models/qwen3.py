@@ -139,6 +139,7 @@ class Qwen3Attention(nn.Module):
         cache_k: Optional[jax.Array] = None,
         cache_v: Optional[jax.Array] = None,
         cache_len: Optional[jax.Array] = None,
+        rope_cos_sin: Optional[tuple] = None,
     ):
         cfg = self.config
         batch, seq, _ = x.shape
@@ -151,12 +152,17 @@ class Qwen3Attention(nn.Module):
         q = RMSNorm(eps=cfg.rms_norm_eps, name="q_norm")(q)
         k = RMSNorm(eps=cfg.rms_norm_eps, name="k_norm")(k)
 
-        # positions: [S] (shared) or [B, S] (per-slot, continuous batching)
-        cos, sin = rope_angles(positions, d, cfg.rope_theta)
-        if positions.ndim == 1:
-            cos, sin = cos[None, None], sin[None, None]   # [1, 1, S, D]
-        else:
+        if rope_cos_sin is not None:
+            # precomputed (e.g. interleaved mrope): [B, S, D]
+            cos, sin = rope_cos_sin
             cos, sin = cos[:, None], sin[:, None]          # [B, 1, S, D]
+        else:
+            # positions: [S] (shared) or [B, S] (continuous batching)
+            cos, sin = rope_angles(positions, d, cfg.rope_theta)
+            if positions.ndim == 1:
+                cos, sin = cos[None, None], sin[None, None]  # [1, 1, S, D]
+            else:
+                cos, sin = cos[:, None], sin[:, None]        # [B, 1, S, D]
         q = q.swapaxes(1, 2)                               # [B, Hq, S, D]
         k = k.swapaxes(1, 2)
         q = (q * cos + _rotate_half(q) * sin).astype(q.dtype)
@@ -238,11 +244,12 @@ class Qwen3Layer(nn.Module):
     config: Qwen3Config
 
     @nn.compact
-    def __call__(self, x, positions, cache_k=None, cache_v=None, cache_len=None):
+    def __call__(self, x, positions, cache_k=None, cache_v=None, cache_len=None,
+                 rope_cos_sin=None):
         cfg = self.config
         h = RMSNorm(eps=cfg.rms_norm_eps, name="input_norm")(x)
         attn, new_k, new_v = Qwen3Attention(cfg, name="self_attn")(
-            h, positions, cache_k, cache_v, cache_len
+            h, positions, cache_k, cache_v, cache_len, rope_cos_sin
         )
         x = x + attn
         h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attn_norm")(x)
@@ -302,6 +309,8 @@ class Qwen3Model(nn.Module):
         inputs_embeds: Optional[jax.Array] = None,  # [B, S, D] overrides tokens
         positions: Optional[jax.Array] = None,
         cache: Optional[KVCache] = None,
+        rope_cos_sin: Optional[tuple] = None,
+        deepstack_embeds: Optional[jax.Array] = None,  # [L_ds, B, S, D]
     ):
         cfg = self.config
         x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(tokens)
@@ -319,12 +328,16 @@ class Qwen3Model(nn.Module):
             new_k_list, new_v_list = [], []
             for i, layer in enumerate(self.decoder_layers):
                 if cache is None:
-                    x, k, v = layer(x, positions)
+                    x, k, v = layer(x, positions, rope_cos_sin=rope_cos_sin)
                 else:
                     x, k, v = layer(x, positions, cache.k[i], cache.v[i],
-                                    cache.length)
+                                    cache.length, rope_cos_sin=rope_cos_sin)
                 new_k_list.append(k)
                 new_v_list.append(v)
+                # DeepStack: add visual features after the first few layers
+                if (deepstack_embeds is not None
+                        and i < deepstack_embeds.shape[0]):
+                    x = x + deepstack_embeds[i].astype(x.dtype)
             new_k, new_v = tuple(new_k_list), tuple(new_v_list)
 
         x = self.final_norm(x)
