@@ -157,6 +157,101 @@ class Qwen3ChatBackend:
                 emitted = len(text)
 
 
+class Qwen3VLChatBackend:
+    """Full multimodal backend: frames are patchified and spliced as image
+    tokens into the prompt (real pixels through the vision tower, not text
+    placeholders).
+
+    Token protocol: ``<|vision_start|><|image_pad|>*N<|vision_end|>`` per
+    frame, with N = merged token count for the frame's grid.
+    """
+
+    def __init__(
+        self,
+        vl_model,            # gvl_tpu.models.qwen3vl.Qwen3VL
+        tokenizer,
+        image_token_id: int = 151655,
+        vision_start_id: int = 151652,
+        vision_end_id: int = 151653,
+        eos_token_id: int = 151645,
+        image_size: int = 256,
+    ):
+        self.vl = vl_model
+        self.tokenizer = tokenizer
+        self.image_token_id = image_token_id
+        self.vision_start_id = vision_start_id
+        self.vision_end_id = vision_end_id
+        self.eos_token_id = eos_token_id
+        self.image_size = image_size
+
+    def _extract_frame(self, messages):
+        for message in messages:
+            content = message.get("content", "")
+            if isinstance(content, list):
+                for part in content:
+                    if isinstance(part, dict) and part.get("type") == "image":
+                        return part.get("image")
+        return None
+
+    def _prepare(self, messages):
+        """(input_ids, patches, grid) — image tokens inline when a frame
+        is attached."""
+        from gvl_tpu.models.qwen3vl import patchify_frames
+
+        frame = self._extract_frame(messages)
+        patches = grid = None
+        image_ids: list[int] = []
+        if frame is not None:
+            arr = np.asarray(frame)
+            if arr.ndim == 3:
+                arr = arr[None]  # single frame -> [1, H, W, 3]
+            side = self.image_size
+            from PIL import Image
+
+            arr = np.stack([
+                np.asarray(Image.fromarray(f.astype(np.uint8)).resize(
+                    (side, side), Image.BILINEAR))
+                for f in arr
+            ])
+            patches, grid = patchify_frames(arr, self.vl.vision_config)
+            merge = self.vl.vision_config.spatial_merge_size ** 2
+            n_tokens = patches.shape[0] // merge
+            image_ids = ([self.vision_start_id]
+                         + [self.image_token_id] * n_tokens
+                         + [self.vision_end_id])
+
+        parts = []
+        for message in messages_to_plain_text(messages):
+            parts.append(
+                f"<|im_start|>{message['role']}\n{message['content']}<|im_end|>\n"
+            )
+        parts.append("<|im_start|>assistant\n")
+        ids = list(self.tokenizer.encode("".join(parts)))
+        # splice the image span right after the system turn
+        if image_ids:
+            ids = image_ids + ids
+        return np.asarray([ids], np.int64), patches, grid
+
+    def stream(self, messages, config, inputs_embeds_prefix=None):
+        ids, patches, grid = self._prepare(messages)
+        tokens = self.vl.generate(
+            ids, patches, grid,
+            max_new_tokens=config.max_new_tokens,
+            temperature=config.temperature,
+            top_p=config.top_p,
+            top_k=config.top_k,
+            eos_token_id=self.eos_token_id,
+        )
+        produced: list[int] = []
+        emitted = 0
+        for token in tokens:
+            produced.append(token)
+            text = self.tokenizer.decode(produced, skip_special_tokens=True)
+            if len(text) > emitted and not text.endswith("�"):
+                yield text[emitted:]
+                emitted = len(text)
+
+
 def messages_to_plain_text(messages: list[dict]) -> list[dict]:
     """Flatten typed content parts into plain-string messages."""
     out = []
@@ -450,11 +545,28 @@ def create_reasoning_core(
     checkpoint_path: Optional[str] = None,
     lora_path: Optional[str] = None,
     knowledge_searcher=None,
+    vl_checkpoint_path: Optional[str] = None,
 ) -> ReasoningCore:
-    """Factory: JAX Qwen3 backend when a checkpoint is available, else fake."""
+    """Factory: full Qwen3-VL backend > text Qwen3 backend > fake."""
     config = config or ReasoningCoreConfig()
     backend: ChatBackend
-    if checkpoint_path:
+    if vl_checkpoint_path:
+        from transformers import AutoTokenizer, Qwen3VLForConditionalGeneration
+
+        from gvl_tpu.models.qwen3vl import Qwen3VL, convert_hf_qwen3vl
+
+        hf = Qwen3VLForConditionalGeneration.from_pretrained(vl_checkpoint_path)
+        vision_cfg, text_cfg, params = convert_hf_qwen3vl(hf)
+        vl = Qwen3VL(vision_cfg, text_cfg, params,
+                     image_token_id=hf.config.image_token_id)
+        tokenizer = AutoTokenizer.from_pretrained(vl_checkpoint_path)
+        backend = Qwen3VLChatBackend(
+            vl, tokenizer,
+            image_token_id=hf.config.image_token_id,
+            vision_start_id=hf.config.vision_start_token_id,
+            vision_end_id=hf.config.vision_end_token_id,
+        )
+    elif checkpoint_path:
         from pathlib import Path
 
         from transformers import AutoTokenizer

@@ -175,3 +175,41 @@ class TestGenerate:
         out = vl.generate(ids, patches, GRID, max_new_tokens=6,
                           temperature=0.0, eos_token_id=-1)
         assert out == ref
+
+
+class TestAgentVLBackend:
+    def test_reasoning_core_with_vl_backend_sees_the_frame(self, pair):
+        """The full agent path: frame -> patchify -> vision tower -> spliced
+        tokens -> generated answer; changing the frame changes the output."""
+        from gvl_tpu.agent import ReasoningCoreConfig
+        from gvl_tpu.agent.core import Qwen3VLChatBackend, ReasoningCore
+        from gvl_tpu.fusion import ModalityType, TimelineIndexer
+
+        hf, vl = pair
+
+        class HashTok:  # minimal deterministic tokenizer
+            def encode(self, text):
+                from gvl_tpu.models.sam import hash_tokenize
+                return [int(x) for x in
+                        hash_tokenize(text, 500, 48) if x != 0]
+
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(f"t{i}" for i in ids)
+
+        backend = Qwen3VLChatBackend(
+            vl, HashTok(), image_token_id=7, vision_start_id=5,
+            vision_end_id=6, eos_token_id=-1, image_size=64,
+        )
+        cfg = ReasoningCoreConfig(max_new_tokens=4)
+        core = ReasoningCore(cfg, backend=backend)
+        idx = TimelineIndexer()
+        idx.add_event(3.0, ModalityType.VISUAL, "boss appears")
+
+        frame_a = np.zeros((64, 64, 3), np.uint8)
+        frame_b = np.full((64, 64, 3), 200, np.uint8)
+        out_a = core.reason("what is on screen?", current_frame=frame_a,
+                            timeline_indexer=idx, track_conversation=False)
+        out_b = core.reason("what is on screen?", current_frame=frame_b,
+                            timeline_indexer=idx, track_conversation=False)
+        assert out_a and out_b
+        assert out_a != out_b  # pixels reached the model
