@@ -190,11 +190,93 @@ def run_hico(frames, timeline, config: SystemConfig):
     return tokens
 
 
+def run_pipelined_perception(
+    frames, config: SystemConfig, timeline, kb, concepts=DEFAULT_CONCEPTS
+):
+    """Frame-major perception through the stage-parallel pipeline.
+
+    Stages (segment+track → region semantics → OCR) each run in their own
+    worker with bounded queues, so frame i+1 segments while frame i is
+    being encoded — the reference's Future-Work pipeline parallelism
+    (`README.md:851-855`) live in the flagship path.
+    Returns the per-timestamp SigLIP embeddings.
+    """
+    from gvl_tpu.parallel.pipeline import PerceptionPipeline, PipelineStage
+
+    segmenter = SAMConceptSegmenter(SAMConfig())
+    encoder = SigLIPSemanticEncoder()
+    ocr = create_ocr_pipeline(
+        "fake" if config.perception.ocr_backend == "native"
+        else config.perception.ocr_backend
+    )
+    sam_step = max(1, int(round(config.inference.fps
+                                / max(config.perception.sam3_fps, 1e-6))))
+
+    def stage_segment(item):
+        idx, ts, frame = item
+        entities = []
+        if config.perception.use_sam and idx % sam_step == 0:
+            entities = segmenter.segment_with_prompts(frame, idx, concepts)
+        return idx, ts, frame, entities
+
+    def stage_semantic(item):
+        idx, ts, frame, entities = item
+        embeddings = []
+        if config.perception.use_siglip:
+            masks = [(e.entity_id, e.frame_masks[idx].mask)
+                     for e in entities if idx in e.frame_masks]
+            if masks:
+                embeddings = [
+                    (ts, emb.embedding)
+                    for emb in encoder.encode_masked_regions(frame, masks)
+                ]
+            else:
+                embeddings = [(ts, encoder.encode_image(frame))]
+        return idx, ts, frame, entities, embeddings
+
+    def stage_ocr(item):
+        idx, ts, frame, entities, embeddings = item
+        ocr_result = (
+            ocr.extract_text_from_frame(frame, idx, ts)
+            if config.perception.use_ocr else None
+        )
+        return idx, ts, entities, embeddings, ocr_result
+
+    pipeline = PerceptionPipeline([
+        PipelineStage("segment", stage_segment),
+        PipelineStage("semantic", stage_semantic),
+        PipelineStage("ocr", stage_ocr),
+    ])
+
+    siglip_embeddings = []
+    for idx, ts, entities, embeddings, ocr_result in pipeline.run(
+        [(i, ts, frame) for i, (ts, frame) in enumerate(frames)]
+    ):
+        if entities:
+            timeline.add_from_sam_entities(entities, idx, ts)
+            kb.update_from_tracking(entities, idx, ts)
+        siglip_embeddings.extend(embeddings)
+        if ocr_result is not None:
+            for det in ocr_result.detections:
+                if det.confidence < 0.7 or len(det.text) < 3:
+                    continue
+                important = det.category in ("damage", "health")
+                timeline.add_event(
+                    ts, ModalityType.OCR, det.text,
+                    priority=(EventPriority.MEDIUM if important
+                              else EventPriority.LOW),
+                    confidence=det.confidence,
+                    metadata={"category": det.category, "bbox": det.bbox},
+                )
+    return siglip_embeddings
+
+
 def process_video(
     video_path: str,
     config: Optional[SystemConfig] = None,
     use_cache: bool = True,
     concepts: list[str] = DEFAULT_CONCEPTS,
+    pipelined: bool = False,
 ) -> ProcessedVideo:
     """Run (or reload) the full perception stack and build the loop."""
     config = config or load_preset("light")
@@ -213,18 +295,23 @@ def process_video(
             frames = extract_frames(video_path, fps=config.inference.fps)
         result.timestamps = [t for t, _ in frames]
 
-        segmenter = None
-        if config.perception.use_sam:
-            with timer.stage("sam_detection"):
-                segmenter = run_sam_detection(frames, config, timeline, kb,
-                                              concepts)
+        if pipelined:
+            with timer.stage("pipelined_perception"):
+                result.siglip_embeddings = run_pipelined_perception(
+                    frames, config, timeline, kb, concepts)
         else:
-            segmenter = SAMConceptSegmenter(SAMConfig())
+            segmenter = None
+            if config.perception.use_sam:
+                with timer.stage("sam_detection"):
+                    segmenter = run_sam_detection(frames, config, timeline,
+                                                  kb, concepts)
+            else:
+                segmenter = SAMConceptSegmenter(SAMConfig())
 
-        if config.perception.use_siglip:
-            with timer.stage("siglip_embeddings"):
-                result.siglip_embeddings = extract_siglip_embeddings(
-                    frames, segmenter, config)
+            if config.perception.use_siglip:
+                with timer.stage("siglip_embeddings"):
+                    result.siglip_embeddings = extract_siglip_embeddings(
+                        frames, segmenter, config)
 
         if config.perception.use_videomae:
             with timer.stage("videomae_embeddings"):
@@ -236,7 +323,7 @@ def process_video(
                 _, result.audio_embeddings = run_audio_analysis(
                     video_path, timeline, config)
 
-        if config.perception.use_ocr:
+        if config.perception.use_ocr and not pipelined:
             with timer.stage("ocr_extraction"):
                 run_ocr_extraction(frames, timeline, config)
 
@@ -447,6 +534,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     parser.add_argument("--use-sam", action="store_true", default=None)
     parser.add_argument("--no-sam", dest="use_sam", action="store_false")
     parser.add_argument("--no-cache", action="store_true")
+    parser.add_argument("--pipelined", action="store_true",
+                        help="stage-parallel perception (segment/semantic/"
+                             "OCR workers with bounded queues)")
     parser.add_argument("--query", default=None,
                         help="one-shot question (skips interactive mode)")
     parser.add_argument("--concepts", nargs="*", default=DEFAULT_CONCEPTS)
@@ -462,7 +552,7 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     processed = process_video(
         args.video, config, use_cache=not args.no_cache,
-        concepts=args.concepts,
+        concepts=args.concepts, pipelined=args.pipelined,
     )
     stats = processed.timeline.get_statistics()
     print(f"\nTimeline: {stats['total_events']} events, "

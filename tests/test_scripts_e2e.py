@@ -94,3 +94,21 @@ class TestScriptsEndToEnd:
         aggregates = json.loads(
             (workdir / "results/phase1/aggregates.json").read_text())
         assert aggregates[0]["num_samples"] == 2
+
+    def test_pipelined_matches_sequential(self, workdir):
+        """--pipelined must produce the same timeline as the default path."""
+        import json as json_mod
+
+        out = {}
+        for mode, flags in (("seq", []), ("pipe", ["--pipelined"])):
+            result = run_script([
+                "scripts/realtime_inference.py",
+                "--video", "synthetic://pipe_eq?duration=12&fps=2",
+                "--preset", "standard", "--no-cache",
+                "--query", "what happened at 0:03?",
+            ] + flags, workdir)
+            assert result.returncode == 0, result.stderr
+            line = next(l for l in result.stdout.splitlines()
+                        if l.startswith("Timeline:"))
+            out[mode] = line
+        assert out["seq"] == out["pipe"]
