@@ -269,7 +269,7 @@ class WhisperJaxASR:
         import jax.numpy as jnp
 
         from gvl_tpu.audio.mel import log_mel_spectrogram
-        from gvl_tpu.models.whisper import greedy_decode
+        from gvl_tpu.models.whisper import greedy_decode_cached as greedy_decode
 
         self.tokenizer = tokenizer
         cfg = model.config

@@ -72,26 +72,61 @@ class _MHA(nn.Module):
     num_heads: int
     causal: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.q_proj = nn.Dense(self.d_model)
+        self.k_proj = nn.Dense(self.d_model, use_bias=False)
+        self.v_proj = nn.Dense(self.d_model)
+        self.o_proj = nn.Dense(self.d_model)
+
+    def _split(self, t):
+        batch, seq = t.shape[:2]
+        return t.reshape(batch, seq, self.num_heads, -1).swapaxes(1, 2)
+
     def __call__(self, x, kv=None, *, kv_len=None):
-        d = self.d_model
         source = x if kv is None else kv
         batch, seq_q = x.shape[:2]
-        seq_k = source.shape[1]
-
-        q = nn.Dense(d, name="q_proj")(x)
-        k = nn.Dense(d, use_bias=False, name="k_proj")(source)
-        v = nn.Dense(d, name="v_proj")(source)
-
-        def split(t, s):
-            return t.reshape(batch, s, self.num_heads, -1).swapaxes(1, 2)
-
         out = dot_product_attention(
-            split(q, seq_q), split(k, seq_k), split(v, seq_k),
+            self._split(self.q_proj(x)),
+            self._split(self.k_proj(source)),
+            self._split(self.v_proj(source)),
             causal=self.causal, kv_len=kv_len,
         )
-        out = out.swapaxes(1, 2).reshape(batch, seq_q, d)
-        return nn.Dense(d, name="o_proj")(out)
+        return self.o_proj(
+            out.swapaxes(1, 2).reshape(batch, seq_q, self.d_model))
+
+    def project_kv(self, source):
+        """Precompute split K/V (cross-attention cache)."""
+        return self._split(self.k_proj(source)), self._split(self.v_proj(source))
+
+    def attend_precomputed(self, x, k4, v4):
+        batch, seq_q = x.shape[:2]
+        out = dot_product_attention(self._split(self.q_proj(x)), k4, v4)
+        return self.o_proj(
+            out.swapaxes(1, 2).reshape(batch, seq_q, self.d_model))
+
+    def decode_step(self, x1, cache_k, cache_v, pos):
+        """One-token causal self-attention against a [B, H, T, Dh] cache."""
+        import numpy as _np
+
+        batch = x1.shape[0]
+        q = self._split(self.q_proj(x1))                 # [B, H, 1, Dh]
+        k1 = self._split(self.k_proj(x1))
+        v1 = self._split(self.v_proj(x1))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k1.astype(cache_k.dtype), (0, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v1.astype(cache_v.dtype), (0, 0, pos, 0))
+        t_max = cache_k.shape[2]
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache_k,
+            preferred_element_type=jnp.float32,
+        ) / _np.sqrt(q.shape[-1])
+        live = jnp.arange(t_max)[None, None, None, :] <= pos
+        scores = jnp.where(live, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, cache_v)
+        out = out.swapaxes(1, 2).reshape(batch, 1, self.d_model)
+        return self.o_proj(out), cache_k, cache_v
 
 
 class _EncoderLayer(nn.Module):
@@ -139,42 +174,85 @@ class WhisperEncoder(nn.Module):
 class _DecoderLayer(nn.Module):
     config: WhisperConfig
 
-    @nn.compact
-    def __call__(self, x, encoder_states, *, self_kv_len=None):
+    def setup(self):
         cfg = self.config
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="self_norm")(x)
-        x = x + _MHA(cfg.d_model, cfg.num_heads, causal=True,
-                     name="self_attn")(h, kv_len=self_kv_len)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="cross_norm")(x)
-        x = x + _MHA(cfg.d_model, cfg.num_heads,
-                     name="cross_attn")(h, encoder_states)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ff_norm")(x)
-        h = nn.Dense(cfg.ffn_dim, name="fc1")(h)
-        h = _gelu(h)
-        return x + nn.Dense(cfg.d_model, name="fc2")(h)
+        self.self_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        self.self_attn = _MHA(cfg.d_model, cfg.num_heads, causal=True)
+        self.cross_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        self.cross_attn = _MHA(cfg.d_model, cfg.num_heads)
+        self.ff_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        self.fc1 = nn.Dense(cfg.ffn_dim)
+        self.fc2 = nn.Dense(cfg.d_model)
+
+    def __call__(self, x, encoder_states, *, self_kv_len=None):
+        x = x + self.self_attn(self.self_norm(x), kv_len=self_kv_len)
+        x = x + self.cross_attn(self.cross_norm(x), encoder_states)
+        return x + self.fc2(_gelu(self.fc1(self.ff_norm(x))))
+
+    def precompute_cross(self, encoder_states):
+        return self.cross_attn.project_kv(encoder_states)
+
+    def decode_step(self, x1, cross_k, cross_v, cache_k, cache_v, pos):
+        attn, cache_k, cache_v = self.self_attn.decode_step(
+            self.self_norm(x1), cache_k, cache_v, pos)
+        x1 = x1 + attn
+        x1 = x1 + self.cross_attn.attend_precomputed(
+            self.cross_norm(x1), cross_k, cross_v)
+        x1 = x1 + self.fc2(_gelu(self.fc1(self.ff_norm(x1))))
+        return x1, cache_k, cache_v
 
 
 class WhisperDecoder(nn.Module):
     config: WhisperConfig
 
-    @nn.compact
-    def __call__(self, tokens, encoder_states, *, position_offset=0):
+    def setup(self):
         cfg = self.config
-        embed = self.param(
+        self.embed_tokens = self.param(
             "embed_tokens", nn.initializers.normal(0.02),
             (cfg.vocab_size, cfg.d_model),
         )
-        pos = self.param(
+        self.embed_positions = self.param(
             "embed_positions", nn.initializers.normal(0.02),
             (cfg.max_target_positions, cfg.d_model),
         )
-        x = embed[tokens]
+        self.dec_layers = [
+            _DecoderLayer(cfg, name=f"layers_{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        self.final_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+
+    def __call__(self, tokens, encoder_states, *, position_offset=0):
+        cfg = self.config
+        x = self.embed_tokens[tokens]
         seq = tokens.shape[1]
-        x = x + jax.lax.dynamic_slice_in_dim(pos, position_offset, seq, 0)[None]
-        for i in range(cfg.decoder_layers):
-            x = _DecoderLayer(cfg, name=f"layers_{i}")(x, encoder_states)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
-        return x @ embed.T  # tied output head
+        x = x + jax.lax.dynamic_slice_in_dim(
+            self.embed_positions, position_offset, seq, 0)[None]
+        for layer in self.dec_layers:
+            x = layer(x, encoder_states)
+        x = self.final_norm(x)
+        return x @ self.embed_tokens.T  # tied output head
+
+    def precompute_cross(self, encoder_states):
+        """Per-layer cross-attention K/V, computed once per utterance."""
+        return [layer.precompute_cross(encoder_states)
+                for layer in self.dec_layers]
+
+    def decode_step(self, token, cross_kv, self_caches, pos):
+        """One token through all layers with cached self/cross attention.
+
+        self_caches: list of (k, v) [B, H, T_max, Dh] per layer.
+        """
+        x = self.embed_tokens[token][:, None, :]
+        x = x + jax.lax.dynamic_slice_in_dim(
+            self.embed_positions, pos, 1, 0)[None]
+        new_caches = []
+        for layer, (ck, cv), (xk, xv) in zip(
+            self.dec_layers, cross_kv, self_caches
+        ):
+            x, xk, xv = layer.decode_step(x, ck, cv, xk, xv, pos)
+            new_caches.append((xk, xv))
+        x = self.final_norm(x)
+        return (x @ self.embed_tokens.T)[:, 0], new_caches
 
 
 class WhisperModel(nn.Module):
@@ -195,6 +273,12 @@ class WhisperModel(nn.Module):
 
     def decode(self, tokens, encoder_states):
         return self.decoder(tokens, encoder_states)
+
+    def precompute_cross(self, encoder_states):
+        return self.decoder.precompute_cross(encoder_states)
+
+    def decode_step(self, token, cross_kv, self_caches, pos):
+        return self.decoder.decode_step(token, cross_kv, self_caches, pos)
 
 
 def greedy_decode(
@@ -241,6 +325,57 @@ def greedy_decode(
         cond, body, (jnp.int32(prompt_len), tokens, jnp.zeros(batch, bool))
     )
     return tokens
+
+
+def greedy_decode_cached(
+    model: WhisperModel,
+    variables: dict,
+    mel: jax.Array,
+    prompt_tokens: jax.Array,
+    max_new_tokens: int = 128,
+) -> jax.Array:
+    """Incremental greedy decoding: cross K/V precomputed once, per-layer
+    self-attention KV caches — O(n) per token instead of the O(n²)
+    full-prefix recompute in :func:`greedy_decode`."""
+    cfg = model.config
+    batch, prompt_len = prompt_tokens.shape
+    total = prompt_len + max_new_tokens
+    d_head = cfg.d_model // cfg.num_heads
+
+    states = model.apply(variables, mel, method=WhisperModel.encode)
+    cross_kv = model.apply(
+        variables, states, method=WhisperModel.precompute_cross
+    )
+    self_caches = [
+        (jnp.zeros((batch, cfg.num_heads, total, d_head), states.dtype),
+         jnp.zeros((batch, cfg.num_heads, total, d_head), states.dtype))
+        for _ in range(cfg.decoder_layers)
+    ]
+
+    step = jax.jit(
+        lambda vars_, token, cross, caches, pos: model.apply(
+            vars_, token, cross, caches, pos,
+            method=WhisperModel.decode_step,
+        )
+    )
+
+    out = np.full((batch, total), cfg.eos_token_id, np.int32)
+    out[:, :prompt_len] = np.asarray(prompt_tokens)
+    done = np.zeros(batch, bool)
+    # feed the prompt through the caches, then generate
+    for i in range(total - 1):
+        token = jnp.asarray(out[:, i], jnp.int32)
+        logits, self_caches = step(
+            variables, token, cross_kv, self_caches, jnp.int32(i))
+        if i + 1 < prompt_len:
+            continue  # teacher-forced prompt pass
+        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        nxt = np.where(done, cfg.eos_token_id, nxt)
+        out[:, i + 1] = nxt
+        done |= nxt == cfg.eos_token_id
+        if done.all():
+            break
+    return jnp.asarray(out)
 
 
 # --------------------------------------------------------------------------

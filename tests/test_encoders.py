@@ -143,3 +143,15 @@ class TestWhisper:
         a = greedy_decode(model, variables, mel, prompt, max_new_tokens=5)
         b = greedy_decode(model, variables, mel, prompt, max_new_tokens=5)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cached_decode_matches_recompute(self, pair):
+        from gvl_tpu.models.whisper import greedy_decode, greedy_decode_cached
+
+        _, model, variables = pair
+        mel = jnp.asarray(
+            np.random.RandomState(7).randn(2, 200, 16).astype(np.float32))
+        prompt = jnp.array([[50258, 3], [50258, 9]], jnp.int32)
+        slow = greedy_decode(model, variables, mel, prompt, max_new_tokens=6)
+        fast = greedy_decode_cached(model, variables, mel, prompt,
+                                    max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(slow), np.asarray(fast))
