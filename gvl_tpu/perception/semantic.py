@@ -70,6 +70,17 @@ class AspectPreservingResizer:
         target_w = (target_w // PATCH) * PATCH
         return max(PATCH, target_h), max(PATCH, target_w)
 
+    def resize_with_aspect_ratio(self, image) -> tuple[np.ndarray, float]:
+        """Reference-named API: resize to the aspect-preserving optimal
+        size (multiples of 14, bounded), without canvas padding."""
+        from PIL import Image
+
+        arr = np.asarray(image)
+        target_h, target_w = self.compute_optimal_size(*arr.shape[:2])
+        resized = np.asarray(
+            Image.fromarray(arr).resize((target_w, target_h), Image.BILINEAR))
+        return resized, arr.shape[1] / max(arr.shape[0], 1)
+
     def resize_to_canvas(
         self, image: np.ndarray, canvas: int
     ) -> tuple[np.ndarray, float]:
