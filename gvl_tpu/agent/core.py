@@ -291,6 +291,9 @@ class ReasoningCore:
         self._knowledge_searcher = knowledge_searcher
         self.tool_parser = ToolCallParser(knowledge_searcher)
         self._last_retrieved_events: list = []
+        # p50 TTFT is a tracked north-star metric (BASELINE.md)
+        self.last_ttft_sec: Optional[float] = None
+        self._ttft_history: list = []
 
     # ------------------------------------------------------------ indexing
 
@@ -474,15 +477,23 @@ class ReasoningCore:
         inputs_embeds_prefix: Optional[np.ndarray] = None,
     ) -> Iterator[str]:
         """Stream response pieces; runs the two-pass tool-call loop."""
+        import time as _time
+
+        t_start = _time.perf_counter()
         messages, video_timestamp = self._prepare(
             query, timeline_indexer, knowledge_base, region_detections,
             video_timestamp, track_conversation, current_frame,
         )
 
         pieces: list[str] = []
+        first = True
         for piece in self.backend.stream(
             messages, self.config, inputs_embeds_prefix=inputs_embeds_prefix
         ):
+            if first:
+                self.last_ttft_sec = _time.perf_counter() - t_start
+                self._ttft_history.append(self.last_ttft_sec)
+                first = False
             pieces.append(piece)
             yield piece
         response = "".join(pieces)
@@ -528,6 +539,20 @@ class ReasoningCore:
 
     def load_conversation(self, path: str) -> None:
         self.conversation_history = ConversationHistory.load(path)
+
+    def get_ttft_stats(self) -> dict:
+        """p50/p95 time-to-first-token over this session."""
+        if not self._ttft_history:
+            return {"count": 0, "p50_sec": None, "p95_sec": None}
+        import numpy as _np
+
+        arr = _np.asarray(self._ttft_history)
+        return {
+            "count": len(arr),
+            "p50_sec": float(_np.percentile(arr, 50)),
+            "p95_sec": float(_np.percentile(arr, 95)),
+            "last_sec": float(arr[-1]),
+        }
 
     def get_conversation_summary(self) -> dict:
         last = self.conversation_history.get_last_assistant_response()

@@ -242,6 +242,7 @@ class PerceptionReasoningLoop:
             "temporal_context": self.temporal_context.get_context_summary(),
             "pending_triggers": len(self.trigger_detector.pending_triggers),
             "projector_weights_loaded": self.projector_weights_path is not None,
+            "ttft": self.reasoning_core.get_ttft_stats(),
         }
 
 

@@ -1,0 +1,96 @@
+"""Thread-safe streaming front-end over the continuous-batching engine.
+
+Concurrent callers (HTTP handlers, agent sessions) submit prompts and
+consume per-request token streams while ONE driver thread steps the shared
+:class:`ContinuousBatchingEngine` — every decode step advances all live
+requests at once, so concurrent load multiplies throughput instead of
+serializing (the reference serves one ``generate`` at a time).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Iterator, Optional
+
+logger = logging.getLogger(__name__)
+
+_DONE = object()
+
+
+class EngineServer:
+    """Owns the batching engine + driver thread; hands out token streams.
+
+    >>> server = EngineServer(engine)
+    >>> stream = server.submit_stream([1, 2, 3], max_new_tokens=32)
+    >>> tokens = list(stream)          # safe from any thread
+    >>> server.shutdown()
+    """
+
+    def __init__(self, engine, poll_interval: float = 0.002):
+        self.engine = engine
+        self._lock = threading.Lock()
+        self._streams: dict[int, queue.Queue] = {}
+        self._poll_interval = poll_interval
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._driver = threading.Thread(
+            target=self._drive, daemon=True, name="engine-driver")
+        self._driver.start()
+
+    # -------------------------------------------------------------- public
+
+    def submit_stream(
+        self, prompt_ids: list[int], max_new_tokens: int = 128
+    ) -> Iterator[int]:
+        """Submit a prompt; returns an iterator of generated token ids."""
+        stream: queue.Queue = queue.Queue()
+        with self._lock:
+            request_id = self.engine.submit(prompt_ids, max_new_tokens)
+            self._streams[request_id] = stream
+        self._wake.set()
+
+        def tokens():
+            while True:
+                item = stream.get()
+                if item is _DONE:
+                    return
+                yield item
+
+        return tokens()
+
+    def generate(self, prompt_ids: list[int],
+                 max_new_tokens: int = 128) -> list[int]:
+        return list(self.submit_stream(prompt_ids, max_new_tokens))
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        self._driver.join(timeout=5)
+
+    # -------------------------------------------------------------- driver
+
+    def _drive(self) -> None:
+        sent: dict[int, int] = {}
+        while not self._stop.is_set():
+            with self._lock:
+                has_work = self.engine.has_work
+            if not has_work:
+                self._wake.wait(timeout=0.25)
+                self._wake.clear()
+                continue
+            with self._lock:
+                self.engine.step()
+                # flush newly-recorded tokens to each request's stream
+                for request_id in list(self._streams):
+                    request = self.engine._requests[request_id]
+                    stream = self._streams[request_id]
+                    already = sent.get(request_id, 0)
+                    for token in request.tokens[already:]:
+                        stream.put(token)
+                    sent[request_id] = len(request.tokens)
+                    if request.done:
+                        stream.put(_DONE)
+                        self._streams.pop(request_id)
+                        sent.pop(request_id, None)

@@ -269,3 +269,23 @@ class TestSearch:
         prompt = create_search_enhanced_system_prompt(
             "base", GameContext(game_name="Hades", game_genre="Roguelike"))
         assert "search_web" in prompt and "Hades (Roguelike)" in prompt
+
+
+class TestTTFT:
+    def test_ttft_tracked_per_stream(self):
+        idx, kb = build_world()
+        core = ReasoningCore()
+        assert core.get_ttft_stats()["count"] == 0
+        core.reason("what happened at 1:40?", timeline_indexer=idx)
+        core.reason("describe the scene", timeline_indexer=idx)
+        stats = core.get_ttft_stats()
+        assert stats["count"] == 2
+        assert stats["p50_sec"] is not None and stats["p50_sec"] >= 0
+        assert stats["p95_sec"] >= stats["p50_sec"] >= 0
+
+    def test_ttft_in_loop_status(self):
+        idx, kb = build_world()
+        loop = create_perception_loop(timeline_indexer=idx, knowledge_base=kb)
+        loop.start()
+        loop.process_frame(timestamp=1.0, force_reason=True)
+        assert loop.get_status()["ttft"]["count"] == 1

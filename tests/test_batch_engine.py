@@ -74,3 +74,46 @@ class TestContinuousBatching:
         assert engine.has_work
         engine.run()
         assert not engine.has_work
+
+
+class TestEngineServer:
+    def test_concurrent_streams_match_single_engine(self, model_setup):
+        import threading
+
+        from gvl_tpu.serving.engine_server import EngineServer
+
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=5)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        server = EngineServer(engine)
+        results = [None] * len(PROMPTS)
+
+        def worker(i):
+            results[i] = list(server.submit_stream(PROMPTS[i],
+                                                   max_new_tokens=5))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(PROMPTS))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        server.shutdown()
+        assert results == [e[:5] for e in expected]
+
+    def test_sequential_submissions(self, model_setup):
+        from gvl_tpu.serving.engine_server import EngineServer
+
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=4)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=1,
+            dtype=jnp.float32, temperature=0.0)
+        server = EngineServer(engine)
+        out1 = server.generate(PROMPTS[0], max_new_tokens=4)
+        out2 = server.generate(PROMPTS[1], max_new_tokens=4)
+        server.shutdown()
+        assert out1 == expected[0][:4]
+        assert out2 == expected[1][:4]
