@@ -275,3 +275,22 @@ class TestScanLayers:
         q = next(v for k, v in flat.items()
                  if "layers/layer/self_attn/q_proj/base/kernel" in k)
         assert q.spec == P(None, None, "model")
+
+
+class TestShardedDecode:
+    def test_tp_sharded_engine_matches_unsharded(self, hf_pair):
+        """Greedy generation with TP-sharded weights over the 2x4 mesh is
+        identical to single-device generation."""
+        from gvl_tpu.parallel.sharding import shard_pytree
+
+        _, cfg, variables = hf_pair
+        baseline = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                               dtype=jnp.float32)
+        expected = baseline.generate([7, 3, 99, 12], max_new_tokens=6,
+                                     temperature=0.0)
+        mesh = build_mesh(2, 4)
+        sharded = shard_pytree(variables, mesh, LLM_RULES)
+        engine = Qwen3Engine(cfg, sharded, eos_token_id=-1, dtype=jnp.float32)
+        out = engine.generate([7, 3, 99, 12], max_new_tokens=6,
+                              temperature=0.0)
+        assert out == expected
