@@ -12,6 +12,15 @@ Endpoints
 - ``POST /query/stream``      — same, chunked text/plain streaming
 - ``GET  /timeline?video=..`` — timeline statistics + transcript
 - ``GET  /status``            — per-video loop status
+- ``POST /generate``          — ``{"prompt_ids": [int], "max_new_tokens"?}``
+                                → raw LLM tokens via the shared
+                                continuous-batching engine (requires
+                                :meth:`InferenceService.attach_engine`)
+- ``POST /generate/stream``   — same, chunked newline-delimited token ids
+
+Concurrent ``/generate`` callers are batched into ONE decode loop
+(every engine step advances all live requests), unlike the reference
+which serves one ``generate`` at a time.
 """
 
 from __future__ import annotations
@@ -35,6 +44,53 @@ class InferenceService:
         self.config = config or load_preset("light")
         self._videos: dict[str, object] = {}
         self._lock = threading.Lock()
+        self._engine_server = None
+        self._tokenizer = None
+
+    # ------------------------------------------------ batched LLM serving
+
+    def attach_engine(self, engine_server, tokenizer=None) -> None:
+        """Attach an :class:`~gvl_tpu.serving.EngineServer` so ``/generate``
+        serves raw LLM requests through the shared continuous-batching
+        engine. ``tokenizer`` (optional, HF-style ``encode``/``decode``)
+        enables ``{"prompt": str}`` requests and decoded-text responses.
+        """
+        self._engine_server = engine_server
+        self._tokenizer = tokenizer
+
+    def _prompt_ids(self, body: dict) -> list[int]:
+        if "prompt_ids" in body:
+            return [int(t) for t in body["prompt_ids"]]
+        if "prompt" in body:
+            if self._tokenizer is None:
+                raise ValueError(
+                    "string prompts need a tokenizer; attach_engine(...,"
+                    " tokenizer=...) or send prompt_ids")
+            return list(self._tokenizer.encode(body["prompt"]))
+        raise KeyError("'prompt_ids' (or 'prompt')")
+
+    def generate(self, body: dict) -> dict:
+        if self._engine_server is None:
+            raise ValueError("no LLM engine attached (see attach_engine)")
+        prompt_ids = self._prompt_ids(body)
+        max_new = int(body.get("max_new_tokens", 128))
+        tokens = self._engine_server.generate(prompt_ids, max_new)
+        result = {"tokens": tokens, "num_tokens": len(tokens)}
+        if self._tokenizer is not None:
+            result["text"] = self._tokenizer.decode(tokens)
+        return result
+
+    def generate_stream(self, body: dict):
+        """Return an iterator of generated token ids (one per step).
+
+        Validation happens eagerly (before the caller commits HTTP
+        headers); only the token wait is lazy.
+        """
+        if self._engine_server is None:
+            raise ValueError("no LLM engine attached (see attach_engine)")
+        prompt_ids = self._prompt_ids(body)
+        max_new = int(body.get("max_new_tokens", 128))
+        return self._engine_server.submit_stream(prompt_ids, max_new)
 
     def process(self, video: str) -> dict:
         from scripts.realtime_inference import process_video
@@ -102,7 +158,11 @@ class InferenceService:
         }
 
     def health(self) -> dict:
-        return {"status": "ok", "loaded_videos": list(self._videos)}
+        return {
+            "status": "ok",
+            "loaded_videos": list(self._videos),
+            "llm_engine": self._engine_server is not None,
+        }
 
 
 def _make_handler(service: InferenceService):
@@ -168,10 +228,26 @@ def _make_handler(service: InferenceService):
                         self.wfile.write(
                             f"{len(data):x}\r\n".encode() + data + b"\r\n")
                     self.wfile.write(b"0\r\n\r\n")
+                elif self.path == "/generate":
+                    self._json(200, service.generate(body))
+                elif self.path == "/generate/stream":
+                    stream = service.generate_stream(body)  # validate first
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for token in stream:
+                        data = f"{token}\n".encode()
+                        self.wfile.write(
+                            f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
                 else:
                     self._json(404, {"error": f"unknown path {self.path}"})
             except KeyError as exc:
                 self._json(400, {"error": f"missing field {exc}"})
+            except ValueError as exc:
+                self._json(400, {"error": str(exc)})
             except Exception as exc:
                 logger.exception("POST %s failed", self.path)
                 self._json(500, {"error": str(exc)})

@@ -19,7 +19,31 @@ from gvl_tpu.utils.jax_setup import setup_jax
 setup_jax()
 
 from gvl_tpu.config import load_preset
-from gvl_tpu.serving import serve
+from gvl_tpu.serving import create_server
+
+
+def _attach_llm(service, checkpoint: str, num_slots: int) -> None:
+    """Load an HF Qwen3 checkpoint and serve it through the shared
+    continuous-batching engine (``POST /generate``)."""
+    from transformers import AutoTokenizer
+
+    from gvl_tpu.models.qwen3 import load_hf_qwen3
+    from gvl_tpu.serving import ContinuousBatchingEngine, EngineServer
+
+    model, variables = load_hf_qwen3(checkpoint)
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(checkpoint)
+    except Exception:  # weights-only checkpoint: serve prompt_ids
+        logging.getLogger(__name__).warning(
+            "no tokenizer at %s — /generate accepts prompt_ids only",
+            checkpoint)
+        tokenizer = None
+    eos = (tokenizer.eos_token_id if tokenizer is not None else None)
+    engine = ContinuousBatchingEngine(
+        model.config, variables,
+        eos_token_id=eos if eos is not None else 151645,
+        num_slots=num_slots)
+    service.attach_engine(EngineServer(engine), tokenizer=tokenizer)
 
 
 def main(argv=None) -> int:
@@ -28,10 +52,20 @@ def main(argv=None) -> int:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--preset", default="light",
                         choices=["light", "standard", "full"])
+    parser.add_argument("--llm-checkpoint", default=None,
+                        help="Qwen3 checkpoint dir; enables POST /generate "
+                             "backed by the continuous-batching engine")
+    parser.add_argument("--num-slots", type=int, default=8,
+                        help="concurrent decode slots for /generate")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
-    serve(args.host, args.port, load_preset(args.preset))
+    server = create_server(args.host, args.port, load_preset(args.preset))
+    if args.llm_checkpoint:
+        _attach_llm(server.service, args.llm_checkpoint, args.num_slots)
+    logging.getLogger(__name__).info(
+        "serving on %s:%d", args.host, args.port)
+    server.serve_forever()
     return 0
 
 

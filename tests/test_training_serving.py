@@ -227,6 +227,113 @@ import urllib.parse  # noqa: E402  (used in tests above)
 import urllib.error  # noqa: E402
 
 
+class TestGenerateEndpoint:
+    """POST /generate — concurrent HTTP callers share ONE batched engine."""
+
+    PROMPTS = [[7, 3, 99], [1, 45, 206, 77], [5, 5, 5]]
+
+    @pytest.fixture(scope="class")
+    def stack(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Engine, Qwen3Model
+        from gvl_tpu.serving import (
+            ContinuousBatchingEngine,
+            EngineServer,
+            create_server,
+        )
+
+        cfg = Qwen3Config.tiny(max_cache_length=64)
+        model = Qwen3Model(cfg)
+        variables = {"params": model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]}
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        engine_server = EngineServer(engine)
+        server = create_server(port=0)
+        server.service.attach_engine(engine_server)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        reference = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                                dtype=jnp.float32)
+        expected = [reference.generate(p, max_new_tokens=5, temperature=0.0)
+                    for p in self.PROMPTS]
+        yield url, expected
+        server.shutdown()
+        engine_server.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    def test_health_reports_engine(self, stack):
+        url, _ = stack
+        with urllib.request.urlopen(url + "/health", timeout=30) as resp:
+            assert json.loads(resp.read())["llm_engine"] is True
+
+    def test_concurrent_generate_matches_single_engine(self, stack):
+        url, expected = stack
+        results = [None] * len(self.PROMPTS)
+
+        def worker(i):
+            results[i] = self._post(url + "/generate", {
+                "prompt_ids": self.PROMPTS[i], "max_new_tokens": 5})
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(self.PROMPTS))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert [r["tokens"] for r in results] == expected
+
+    def test_generate_stream_newline_tokens(self, stack):
+        url, expected = stack
+        req = urllib.request.Request(
+            url + "/generate/stream",
+            data=json.dumps({"prompt_ids": self.PROMPTS[0],
+                             "max_new_tokens": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            tokens = [int(line) for line in resp.read().split()]
+        assert tokens == expected[0]
+
+    def test_missing_prompt_400(self, stack):
+        url, _ = stack
+        req = urllib.request.Request(
+            url + "/generate", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 400
+
+    def test_generate_without_engine_400(self):
+        from gvl_tpu.serving import create_server
+
+        server = create_server(port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(
+            url + "/generate", data=json.dumps(
+                {"prompt_ids": [1, 2]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 400
+        server.shutdown()
+
+
 class TestAdapterMerge:
     def test_load_adapter_and_merge_equivalence(self, tmp_path):
         """Merged-for-serving weights == base + live LoRA application."""
