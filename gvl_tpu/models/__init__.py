@@ -6,4 +6,4 @@ __all__ = ["MultiModalProjector", "ProjectorBank"]
 
 # heavier model families import lazily:
 #   gvl_tpu.models.siglip / videomae / wav2vec2 / whisper / qwen3 /
-#   qwen3vl / sam
+#   qwen3vl / sam / speculative

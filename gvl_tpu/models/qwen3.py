@@ -56,6 +56,10 @@ class Qwen3Config:
     # remote-TPU tunnel when embedded in the full step — off by default
     # until validated on directly-attached hardware
     use_decode_kernel: bool = False
+    # speculative-decoding verification: multi-token chunks written at a
+    # nonzero cache offset attend over the cached prefix + causal self
+    # (default False = prefill semantics: causal over the chunk only)
+    chunk_verify: bool = False
     # LoRA (reference finetune config: r=32, alpha=64, 7 targets,
     # /root/reference/scripts/finetune_lora.py:35-51)
     lora_rank: int = 0
@@ -197,7 +201,17 @@ class Qwen3Attention(nn.Module):
                 )
                 new_k = write(cache_k, k.astype(cache_k.dtype), cache_len)
                 new_v = write(cache_v, v.astype(cache_v.dtype), cache_len)
-            if seq > 1:
+            if seq > 1 and cfg.chunk_verify:
+                # speculative verification: the chunk sits at offset
+                # cache_len, so each row attends over the cached prefix
+                # plus its causal slice of the chunk
+                from gvl_tpu.ops.decode_attention import (
+                    chunk_attention_reference,
+                )
+
+                start = jnp.broadcast_to(jnp.atleast_1d(cache_len), (batch,))
+                out = chunk_attention_reference(q, new_k, new_v, start)
+            elif seq > 1:
                 # prefill into an empty cache: causal flash over the prompt
                 # only (rows past the true length are masked at decode time)
                 out = dot_product_attention(q, k, v, causal=True)

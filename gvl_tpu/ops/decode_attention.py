@@ -163,3 +163,36 @@ def decode_attention_reference(
     scores = jnp.where(live, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
     return jnp.einsum("bhk,bhkd->bhd", probs, vf).astype(q.dtype)
+
+
+def chunk_attention_reference(
+    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, start: jax.Array,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-token chunk attending over the cached prefix plus itself.
+
+    The verification step of speculative decoding: the target model scores
+    a chunk of ``S`` draft tokens written into the cache at offset
+    ``start`` in ONE forward pass, so chunk row ``i`` may attend to every
+    cache position ``j < start + i + 1`` (prefix + causal self).  With
+    ``start == 0`` this reduces to plain causal attention over the chunk.
+
+    q: [B, Hq, S, D]; k_cache/v_cache: [B, Hkv, S_max, D] (chunk already
+    written at ``start``); start: [B] live-prefix lengths.
+    Returns [B, Hq, S, D].
+    """
+    batch, num_q_heads, seq, head_dim = q.shape
+    _, num_kv_heads, s_max, _ = k_cache.shape
+    group = num_q_heads // num_kv_heads
+    scale = sm_scale if sm_scale is not None else 1.0 / np.sqrt(head_dim)
+    kf = jnp.repeat(k_cache, group, axis=1)
+    vf = jnp.repeat(v_cache, group, axis=1)
+    scores = jnp.einsum(
+        "bhsd,bhkd->bhsk", q, kf, preferred_element_type=jnp.float32
+    ) * scale
+    row_end = start[:, None] + jnp.arange(seq)[None, :] + 1   # [B, S]
+    live = (jnp.arange(s_max)[None, None, :]
+            < row_end[:, :, None])                            # [B, S, K]
+    scores = jnp.where(live[:, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
+    return jnp.einsum("bhsk,bhkd->bhsd", probs, vf).astype(q.dtype)

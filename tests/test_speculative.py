@@ -1,0 +1,199 @@
+"""Speculative decoding: draft proposes, target verifies in one pass.
+
+The load-bearing property: greedy speculative output is EXACTLY the target
+model's greedy decode, for ANY draft model (a bad draft only costs speed,
+never correctness).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gvl_tpu.models.qwen3 import KVCache, Qwen3Config, Qwen3Engine, Qwen3Model
+from gvl_tpu.models.speculative import SpeculativeEngine
+from gvl_tpu.ops.decode_attention import chunk_attention_reference
+
+PROMPT = [7, 3, 99, 12]
+
+
+@pytest.fixture(scope="module")
+def models():
+    target_cfg = Qwen3Config.tiny(num_layers=4, max_cache_length=128)
+    draft_cfg = Qwen3Config.tiny(num_layers=2, max_cache_length=128)
+    target = Qwen3Model(target_cfg)
+    draft = Qwen3Model(draft_cfg)
+    target_vars = {"params": target.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]}
+    draft_vars = {"params": draft.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 8), jnp.int32))["params"]}
+    return target_cfg, target_vars, draft_cfg, draft_vars
+
+
+class TestChunkAttention:
+    def test_start_zero_is_causal(self):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((2, 4, 6, 16)), jnp.float32)
+        k = jnp.zeros((2, 2, 32, 16), jnp.float32)
+        v = jnp.zeros_like(k)
+        kc = k.at[:, :, :6].set(
+            jnp.asarray(rng.standard_normal((2, 2, 6, 16)), jnp.float32))
+        vc = v.at[:, :, :6].set(
+            jnp.asarray(rng.standard_normal((2, 2, 6, 16)), jnp.float32))
+        out = chunk_attention_reference(q, kc, vc, jnp.zeros((2,), jnp.int32))
+        # causal reference over the dense chunk
+        kf = jnp.repeat(kc[:, :, :6], 2, axis=1)
+        vf = jnp.repeat(vc[:, :, :6], 2, axis=1)
+        scores = jnp.einsum("bhsd,bhkd->bhsk", q, kf) / np.sqrt(16)
+        mask = jnp.tril(jnp.ones((6, 6), bool))
+        scores = jnp.where(mask[None, None], scores, -1e30)
+        expected = jnp.einsum(
+            "bhsk,bhkd->bhsd", jax.nn.softmax(scores, -1), vf)
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+    def test_chunk_matches_sequential_decode(self, models):
+        """One chunk_verify forward over [t_n .. t_{n+g}] must equal g+1
+        sequential single-token decodes."""
+        target_cfg, target_vars, _, _ = models
+        cfg = dataclasses.replace(target_cfg, chunk_verify=True)
+        model = Qwen3Model(cfg)
+        tokens = [5, 9, 2, 41, 7, 3]
+        # path A: prefill 3, then 3 single-token decodes
+        cache = KVCache.zeros(cfg, 1, jnp.float32)
+        logits, cache = model.apply(
+            target_vars, jnp.asarray([tokens[:3]], jnp.int32),
+            positions=jnp.arange(3), cache=cache)
+        seq_logits = [logits[0, -1]]
+        for i in range(3, 6):
+            logits, cache = model.apply(
+                target_vars, jnp.asarray([[tokens[i]]], jnp.int32),
+                positions=jnp.asarray([i], jnp.int32), cache=cache)
+            seq_logits.append(logits[0, 0])
+        # path B: prefill 3, then ONE chunk of the last 3 tokens
+        cache_b = KVCache.zeros(cfg, 1, jnp.float32)
+        logits, cache_b = model.apply(
+            target_vars, jnp.asarray([tokens[:3]], jnp.int32),
+            positions=jnp.arange(3), cache=cache_b)
+        chunk_first = logits[0, -1]
+        logits, _ = model.apply(
+            target_vars, jnp.asarray([tokens[3:]], jnp.int32),
+            positions=jnp.arange(3, 6), cache=cache_b)
+        np.testing.assert_allclose(
+            chunk_first, seq_logits[0], rtol=1e-5, atol=1e-5)
+        for i in range(3):
+            np.testing.assert_allclose(
+                logits[0, i], seq_logits[i + 1], rtol=1e-4, atol=1e-4)
+
+
+class TestGreedyExactness:
+    def test_matches_target_greedy(self, models):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        reference = Qwen3Engine(
+            target_cfg, target_vars, eos_token_id=-1, dtype=jnp.float32)
+        expected = reference.generate(
+            PROMPT, max_new_tokens=24, temperature=0.0)
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=4, eos_token_id=-1, dtype=jnp.float32)
+        got = engine.generate(PROMPT, max_new_tokens=24, temperature=0.0)
+        assert got == expected
+        assert engine.last_stats["rounds"] >= 1
+
+    @pytest.mark.parametrize("gamma", [1, 3, 7])
+    def test_exact_for_any_gamma(self, models, gamma):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        reference = Qwen3Engine(
+            target_cfg, target_vars, eos_token_id=-1, dtype=jnp.float32)
+        expected = reference.generate(
+            PROMPT, max_new_tokens=10, temperature=0.0)
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=gamma, eos_token_id=-1, dtype=jnp.float32)
+        assert engine.generate(
+            PROMPT, max_new_tokens=10, temperature=0.0) == expected
+
+    def test_identical_models_accept_everything(self, models):
+        """Draft == target: every proposal must be accepted."""
+        target_cfg, target_vars, _, _ = models
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, target_cfg, target_vars,
+            gamma=4, eos_token_id=-1, dtype=jnp.float32)
+        reference = Qwen3Engine(
+            target_cfg, target_vars, eos_token_id=-1, dtype=jnp.float32)
+        expected = reference.generate(
+            PROMPT, max_new_tokens=16, temperature=0.0)
+        assert engine.generate(
+            PROMPT, max_new_tokens=16, temperature=0.0) == expected
+        assert engine.last_stats["acceptance_rate"] == 1.0
+        # gamma+1 tokens per round when everything is accepted
+        assert engine.last_stats["tokens_per_round"] == pytest.approx(5.0)
+
+    def test_eos_stops_early(self, models):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        reference = Qwen3Engine(
+            target_cfg, target_vars, eos_token_id=-1, dtype=jnp.float32)
+        expected = reference.generate(
+            PROMPT, max_new_tokens=12, temperature=0.0)
+        eos = expected[5]  # pretend the 6th generated token is EOS
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=4, eos_token_id=eos, dtype=jnp.float32)
+        got = engine.generate(PROMPT, max_new_tokens=12, temperature=0.0)
+        assert got == expected[:expected.index(eos) + 1]
+
+
+class TestStochastic:
+    def test_identical_models_always_accept(self, models):
+        """p == q means min(1, p/q) == 1: acceptance must be 100%."""
+        target_cfg, target_vars, _, _ = models
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, target_cfg, target_vars,
+            gamma=4, eos_token_id=-1, dtype=jnp.float32)
+        out = engine.generate(PROMPT, max_new_tokens=16, temperature=0.8,
+                              rng=jax.random.PRNGKey(3))
+        assert len(out) == 16
+        assert engine.last_stats["acceptance_rate"] == 1.0
+
+    def test_valid_tokens_and_stats(self, models):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=3, eos_token_id=-1, dtype=jnp.float32)
+        out = engine.generate(PROMPT, max_new_tokens=12, temperature=0.9,
+                              rng=jax.random.PRNGKey(11))
+        assert len(out) == 12
+        assert all(0 <= t < target_cfg.vocab_size for t in out)
+        stats = engine.last_stats
+        assert 0.0 <= stats["acceptance_rate"] <= 1.0
+        assert stats["tokens_per_round"] >= 1.0
+
+    def test_mismatched_vocab_rejected(self, models):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        bad = dataclasses.replace(draft_cfg, vocab_size=333)
+        with pytest.raises(ValueError):
+            SpeculativeEngine(target_cfg, target_vars, bad, draft_vars)
+
+
+class TestScanLayersCompat:
+    def test_greedy_exact_with_scanned_target(self):
+        """chunk_verify reads config inside attention, so nn.scan stacks
+        need no special threading."""
+        cfg = Qwen3Config.tiny(
+            num_layers=3, max_cache_length=128, scan_layers=True)
+        model = Qwen3Model(cfg)
+        variables = {"params": model.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32))["params"]}
+        draft_cfg = Qwen3Config.tiny(num_layers=2, max_cache_length=128)
+        draft_vars = {"params": Qwen3Model(draft_cfg).init(
+            jax.random.PRNGKey(5), jnp.zeros((1, 8), jnp.int32))["params"]}
+        reference = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                                dtype=jnp.float32)
+        expected = reference.generate(PROMPT, max_new_tokens=10,
+                                      temperature=0.0)
+        engine = SpeculativeEngine(cfg, variables, draft_cfg, draft_vars,
+                                   gamma=4, eos_token_id=-1,
+                                   dtype=jnp.float32)
+        assert engine.generate(
+            PROMPT, max_new_tokens=10, temperature=0.0) == expected
