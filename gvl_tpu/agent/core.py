@@ -116,11 +116,19 @@ class TemplateFakeBackend:
 
 
 class Qwen3ChatBackend:
-    """JAX Qwen3 engine + HF tokenizer + Qwen chat template."""
+    """JAX Qwen3 engine + HF tokenizer + Qwen chat template.
 
-    def __init__(self, engine, tokenizer):
+    With ``spec_engine`` (a :class:`~gvl_tpu.models.speculative.
+    SpeculativeEngine`), text-only turns decode speculatively (draft
+    proposes, target verifies — same output, fewer target passes);
+    turns that inject an embedding prefix fall back to the plain engine,
+    which supports prefix splicing.
+    """
+
+    def __init__(self, engine, tokenizer, spec_engine=None):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.spec_engine = spec_engine
 
     def _render(self, messages: list[dict]) -> list[int]:
         try:
@@ -142,7 +150,10 @@ class Qwen3ChatBackend:
         ids = self._render(messages)
         produced: list[int] = []
         emitted = 0
-        for token in self.engine.stream(
+        engine = (self.spec_engine
+                  if self.spec_engine is not None
+                  and inputs_embeds_prefix is None else self.engine)
+        for token in engine.stream(
             ids,
             max_new_tokens=config.max_new_tokens,
             temperature=config.temperature,
@@ -571,8 +582,15 @@ def create_reasoning_core(
     lora_path: Optional[str] = None,
     knowledge_searcher=None,
     vl_checkpoint_path: Optional[str] = None,
+    draft_checkpoint_path: Optional[str] = None,
+    speculative_gamma: int = 4,
 ) -> ReasoningCore:
-    """Factory: full Qwen3-VL backend > text Qwen3 backend > fake."""
+    """Factory: full Qwen3-VL backend > text Qwen3 backend > fake.
+
+    ``draft_checkpoint_path`` (with ``checkpoint_path``) enables
+    speculative decoding for text-only turns: the draft model proposes
+    ``speculative_gamma`` tokens per target verification pass.
+    """
     config = config or ReasoningCoreConfig()
     backend: ChatBackend
     if vl_checkpoint_path:
@@ -607,7 +625,19 @@ def create_reasoning_core(
                 model_config, variables, lora_path)
         tokenizer = AutoTokenizer.from_pretrained(checkpoint_path)
         engine = Qwen3Engine(model_config, variables)
-        backend = Qwen3ChatBackend(engine, tokenizer)
+        spec_engine = None
+        if draft_checkpoint_path:
+            from gvl_tpu.models.speculative import SpeculativeEngine
+
+            draft_model, draft_variables = load_hf_qwen3(
+                draft_checkpoint_path)
+            spec_engine = SpeculativeEngine(
+                model_config, variables,
+                draft_model.config, draft_variables,
+                gamma=speculative_gamma,
+                eos_token_id=engine.eos_token_id)
+        backend = Qwen3ChatBackend(engine, tokenizer,
+                                   spec_engine=spec_engine)
     else:
         backend = TemplateFakeBackend()
     return ReasoningCore(config, backend=backend,

@@ -259,6 +259,25 @@ class SpeculativeEngine:
         trained weights (real logit gaps) this is vanishingly rare, with
         random weights (near-uniform logits) it is common.
         """
+        return list(self.stream(prompt_ids, max_new_tokens, temperature,
+                                rng))
+
+    def stream(
+        self,
+        prompt_ids: list[int],
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        rng: Optional[jax.Array] = None,
+        top_p: Optional[float] = None,     # accepted for engine-API
+        top_k: Optional[int] = None,       # compat; not applied (doc'd)
+        inputs_embeds_prefix=None,
+    ):
+        """Yield new tokens (tokens land in bursts of up to gamma+1 per
+        verify round).  Same semantics/caveats as :meth:`generate`."""
+        if inputs_embeds_prefix is not None:
+            raise ValueError(
+                "speculative decoding does not support embedding-prefix "
+                "injection; use the plain engine for that path")
         gamma = self.gamma
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         tcfg, dcfg = self.target_config, self.draft_config
@@ -280,6 +299,7 @@ class SpeculativeEngine:
         generated = [committed[-1]]
         draft_len = 0          # committed tokens the draft has processed
         rounds = drafted = accepted = 0
+        yield committed[-1]
 
         while (len(generated) < max_new_tokens
                and generated[-1] != self.eos_token_id):
@@ -318,6 +338,7 @@ class SpeculativeEngine:
             for tok in new_tokens:
                 committed.append(tok)
                 generated.append(tok)
+                yield tok
                 if (tok == self.eos_token_id
                         or len(generated) >= max_new_tokens):
                     break
@@ -330,6 +351,3 @@ class SpeculativeEngine:
             "tokens_per_round": (
                 (len(generated) - 1) / rounds if rounds else 0.0),
         }
-        if self.eos_token_id in generated:
-            generated = generated[:generated.index(self.eos_token_id) + 1]
-        return generated[:max_new_tokens]

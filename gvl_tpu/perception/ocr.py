@@ -62,7 +62,10 @@ class OCRConfig:
     max_cache_size: int = 100
     frame_skip_similarity: float = 0.95
     roi_regions: Optional[list[tuple[float, float, float, float]]] = None
-    backend: str = "auto"  # "auto" | "tesseract" | "fake"
+    backend: str = "auto"  # "auto" | "tesseract" | "jax" | "fake"
+    # npz produced by scripts/train_ocr.py (used by the "jax" backend;
+    # random weights + a warning without it)
+    checkpoint: Optional[str] = None
 
 
 class TextCategorizer:
@@ -169,6 +172,10 @@ class TesseractOCR:
 def _resolve_engine(config: OCRConfig) -> Callable:
     if config.backend == "fake":
         return DeterministicFakeOCR()
+    if config.backend == "jax":
+        from gvl_tpu.perception.ocr_model import JaxOCREngine
+
+        return JaxOCREngine(checkpoint=config.checkpoint)
     wants_tesseract = config.backend in ("auto", "tesseract")
     if wants_tesseract and shutil.which("tesseract") is not None:
         try:

@@ -1,0 +1,169 @@
+"""JAX det+rec OCR: CTC decode, components, micro-training, e2e engine."""
+
+import numpy as np
+import pytest
+
+from gvl_tpu.perception.ocr_model import (
+    BLANK_ID,
+    JaxOCREngine,
+    OCRModelConfig,
+    TextRecognizerNet,
+    connected_components,
+    crop_to_input,
+    ctc_greedy_decode,
+    init_ocr_params,
+    load_ocr_params,
+    render_frame,
+    render_line,
+    save_ocr_params,
+    synth_text,
+    train_detector,
+    train_recognizer,
+)
+
+# tiny HUD charset keeps the in-test training budget small ('%' needs the
+# full scripts/train_ocr.py budget to learn — see module docstring)
+TEST_CFG = OCRModelConfig(charset="0123456789 /:HPMLVgold+-",
+                          rec_width=160)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rec = train_recognizer(TEST_CFG, steps=800, batch_size=32, seed=0)
+    det = train_detector(TEST_CFG, steps=300, batch_size=8, seed=1)
+    return {"detector": det, "recognizer": rec}
+
+
+class TestPieces:
+    def test_charset_roundtrip(self):
+        cfg = OCRModelConfig()
+        ids = cfg.encode("HP 100/100")
+        assert cfg.decode_ids(ids) == "HP 100/100"
+        assert 0 not in ids  # blank never encodes
+
+    def test_ctc_decode_collapses(self):
+        cfg = OCRModelConfig(charset="ab")
+        # classes: 0=blank 1='a' 2='b'; sequence a a _ b b -> "ab"
+        logits = np.full((5, 3), -10.0, np.float32)
+        for t, k in enumerate([1, 1, BLANK_ID, 2, 2]):
+            logits[t, k] = 10.0
+        text, conf = ctc_greedy_decode(logits, cfg)
+        assert text == "ab"
+        assert conf > 0.9
+
+    def test_connected_components(self):
+        mask = np.zeros((10, 12), bool)
+        mask[1:3, 1:5] = True
+        mask[6:9, 8:11] = True
+        boxes = sorted(connected_components(mask))
+        assert boxes == [(1, 1, 4, 2), (8, 6, 10, 8)]
+
+    def test_render_and_crop_shapes(self):
+        line = render_line("42", 32, 64)
+        assert line.shape == (32, 64) and line.max() > 0.5
+        out = crop_to_input(np.ones((20, 300), np.float32), TEST_CFG)
+        assert out.shape == (TEST_CFG.rec_height, TEST_CFG.rec_width)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        params = init_ocr_params(TEST_CFG, __import__("jax").random.PRNGKey(0))
+        save_ocr_params(params, str(tmp_path / "p.npz"))
+        loaded = load_ocr_params(str(tmp_path / "p.npz"))
+        flat_a = __import__("jax").tree.leaves(params)
+        flat_b = __import__("jax").tree.leaves(loaded)
+        assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+
+class TestRecognizer:
+    def test_micro_training_reads_rendered_text(self, trained):
+        model = TextRecognizerNet(TEST_CFG)
+        rng = np.random.default_rng(99)
+        ok = 0
+        for _ in range(10):
+            text = synth_text(rng, TEST_CFG.charset)[:16] or "0"
+            # the recognizer's input contract is a detector-style tight
+            # crop through crop_to_input — mirror it
+            line = render_line(text, 40, 16 * len(text) + 16, 16)
+            rows = np.nonzero(line.max(1) > 0.2)[0]
+            cols = np.nonzero(line.max(0) > 0.2)[0]
+            crop = line[rows.min():rows.max() + 1,
+                        cols.min():cols.max() + 1]
+            img = crop_to_input(crop, TEST_CFG)
+            logits = np.asarray(model.apply(
+                trained["recognizer"], img[None, :, :, None]))[0]
+            pred, _ = ctc_greedy_decode(logits, TEST_CFG)
+            ok += pred == text
+        assert ok >= 8  # clean tight crops: near-perfect after 600 steps
+
+
+class TestDetector:
+    def test_finds_pasted_text_box(self, trained):
+        rng = np.random.default_rng(3)
+        canvas, target = render_frame(["HP 100/100"], TEST_CFG, rng,
+                                      font_size=18)
+        engine = JaxOCREngine(TEST_CFG, params=trained)
+        prob = np.asarray(engine._det(
+            trained["detector"], canvas[None, :, :, None]))[0]
+        mask = prob > TEST_CFG.det_threshold
+        want = target > 0.5
+        inter = (mask & want).sum()
+        union = (mask | want).sum()
+        assert inter / max(union, 1) > 0.3  # IoU with ground truth
+
+
+class TestEndToEnd:
+    def test_engine_reads_synthetic_frame(self, trained):
+        engine = JaxOCREngine(TEST_CFG, params=trained)
+        rng = np.random.default_rng(5)
+        hits = total = 0
+        for _ in range(6):
+            text = synth_text(rng, TEST_CFG.charset)
+            canvas, _ = render_frame([text], TEST_CFG, rng)
+            dets = engine((canvas * 255).astype(np.uint8))
+            total += 1
+            hits += any(t == text for t, _, _ in dets)
+        assert hits >= 4  # single well-separated text per frame
+
+    def test_empty_frame_no_detections(self, trained):
+        engine = JaxOCREngine(TEST_CFG, params=trained)
+        assert engine(np.zeros((240, 320), np.uint8)) == []
+
+    def test_rgb_frame_matches_gray(self, trained):
+        """RGB input goes through the luma conversion and must give the
+        same detections as the gray frame (glyph-level recognition
+        quality is covered by the exact-match test above)."""
+        engine = JaxOCREngine(TEST_CFG, params=trained)
+        rng = np.random.default_rng(7)
+        canvas, _ = render_frame(["750 gold"], TEST_CFG, rng)
+        gray_u8 = (canvas * 255).astype(np.uint8)
+        rgb = np.stack([gray_u8] * 3, axis=-1)
+        gray_dets = engine(gray_u8)
+        rgb_dets = engine(rgb)
+        assert gray_dets and rgb_dets
+        assert [t for t, _, _ in gray_dets] == [t for t, _, _ in rgb_dets]
+        assert any("750" in t for t, _, _ in rgb_dets)
+
+
+class TestPipelineIntegration:
+    def test_backend_jax_resolves(self):
+        from gvl_tpu.perception.ocr import OCRConfig, create_ocr_pipeline
+
+        pipeline = create_ocr_pipeline(
+            backend="jax", config=OCRConfig(backend="jax",
+                                            min_confidence=0.0))
+        assert isinstance(pipeline.engine, JaxOCREngine)
+        # random weights: must run without crashing, any result list is ok
+        result = pipeline.extract_text_from_frame(
+            np.zeros((240, 320, 3), np.uint8), frame_idx=0, timestamp=0.0)
+        assert result.detections == [] or all(
+            d.text for d in result.detections)
+
+    def test_checkpoint_flow(self, trained, tmp_path):
+        from gvl_tpu.perception.ocr_model import save_ocr_params
+
+        path = tmp_path / "ocr.npz"
+        save_ocr_params(trained, str(path))
+        engine = JaxOCREngine(TEST_CFG, checkpoint=str(path))
+        rng = np.random.default_rng(11)
+        canvas, _ = render_frame(["12:34"], TEST_CFG, rng)
+        dets = engine((canvas * 255).astype(np.uint8))
+        assert any(t == "12:34" for t, _, _ in dets)

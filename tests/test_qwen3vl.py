@@ -213,3 +213,48 @@ class TestAgentVLBackend:
                             timeline_indexer=idx, track_conversation=False)
         assert out_a and out_b
         assert out_a != out_b  # pixels reached the model
+
+
+class TestShardedVL:
+    def test_tp_sharded_forward_matches_unsharded(self, pair):
+        """TP-sharded text decoder (2x4 mesh) + replicated vision tower
+        produce the same multimodal logits as the unsharded model."""
+        from gvl_tpu.parallel.mesh import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        _, vl = pair
+        patches, ids = make_inputs()
+        expected = np.asarray(vl.forward(ids, patches, GRID))
+
+        mesh = build_mesh(2, 4)
+        sharded_vars = {
+            "vision": vl.variables["vision"],          # replicated
+            "text": shard_pytree(
+                {"params": vl.variables["text"]}, mesh, LLM_RULES
+            )["params"],
+        }
+        sharded = Qwen3VL(vl.vision_config, vl.text_config, sharded_vars,
+                          image_token_id=7, mrope_section=MROPE_SECTION)
+        got = np.asarray(sharded.forward(ids, patches, GRID))
+        np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-4)
+
+    def test_tp_sharded_generate_matches_unsharded(self, pair):
+        from gvl_tpu.parallel.mesh import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        _, vl = pair
+        patches, ids = make_inputs()
+        expected = vl.generate(ids, patches, GRID, max_new_tokens=5,
+                               temperature=0.0)
+        mesh = build_mesh(2, 4)
+        sharded_vars = {
+            "vision": vl.variables["vision"],
+            "text": shard_pytree(
+                {"params": vl.variables["text"]}, mesh, LLM_RULES
+            )["params"],
+        }
+        sharded = Qwen3VL(vl.vision_config, vl.text_config, sharded_vars,
+                          image_token_id=7, mrope_section=MROPE_SECTION)
+        got = sharded.generate(ids, patches, GRID, max_new_tokens=5,
+                               temperature=0.0)
+        assert got == expected

@@ -197,3 +197,61 @@ class TestScanLayersCompat:
                                    dtype=jnp.float32)
         assert engine.generate(
             PROMPT, max_new_tokens=10, temperature=0.0) == expected
+
+
+class TestStreamAPI:
+    def test_stream_matches_generate(self, models):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=4, eos_token_id=-1, dtype=jnp.float32)
+        expected = engine.generate(PROMPT, max_new_tokens=12,
+                                   temperature=0.0)
+        got = list(engine.stream(PROMPT, max_new_tokens=12,
+                                 temperature=0.0))
+        assert got == expected
+
+    def test_stream_rejects_embeds_prefix(self, models):
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        engine = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=2, eos_token_id=-1, dtype=jnp.float32)
+        with pytest.raises(ValueError):
+            list(engine.stream(PROMPT, inputs_embeds_prefix=np.zeros(
+                (2, target_cfg.hidden_size))))
+
+
+class TestChatBackendRouting:
+    def test_spec_engine_used_without_prefix(self, models):
+        """Qwen3ChatBackend routes text-only turns through the spec
+        engine and prefix turns through the plain engine."""
+        from gvl_tpu.agent.core import Qwen3ChatBackend
+        from gvl_tpu.agent import ReasoningCoreConfig
+
+        calls = {"spec": 0, "plain": 0}
+
+        class FakeEngine:
+            def __init__(self, tag):
+                self.tag = tag
+
+            def stream(self, ids, **kw):
+                calls[self.tag] += 1
+                yield 42
+
+        class FakeTok:
+            def apply_chat_template(self, messages, **kw):
+                return [1, 2, 3]
+
+            def decode(self, ids, **kw):
+                return "x" * len(ids)
+
+        backend = Qwen3ChatBackend(
+            FakeEngine("plain"), FakeTok(),
+            spec_engine=FakeEngine("spec"))
+        cfg = ReasoningCoreConfig()
+        messages = [{"role": "user", "content": "hi"}]
+        list(backend.stream(messages, cfg))
+        assert calls == {"spec": 1, "plain": 0}
+        list(backend.stream(messages, cfg,
+                            inputs_embeds_prefix=np.zeros((1, 4))))
+        assert calls == {"spec": 1, "plain": 1}
