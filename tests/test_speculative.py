@@ -255,3 +255,25 @@ class TestChatBackendRouting:
         list(backend.stream(messages, cfg,
                             inputs_embeds_prefix=np.zeros((1, 4))))
         assert calls == {"spec": 1, "plain": 1}
+
+
+class TestShardedSpeculative:
+    def test_tp_sharded_spec_matches_unsharded(self, models):
+        """Speculative decoding with TP-sharded target AND draft weights
+        over a 2x4 mesh produces the same greedy output."""
+        from gvl_tpu.parallel.mesh import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        target_cfg, target_vars, draft_cfg, draft_vars = models
+        baseline = SpeculativeEngine(
+            target_cfg, target_vars, draft_cfg, draft_vars,
+            gamma=3, eos_token_id=-1, dtype=jnp.float32)
+        expected = baseline.generate(PROMPT, max_new_tokens=10,
+                                     temperature=0.0)
+        mesh = build_mesh(2, 4)
+        engine = SpeculativeEngine(
+            target_cfg, shard_pytree(target_vars, mesh, LLM_RULES),
+            draft_cfg, shard_pytree(draft_vars, mesh, LLM_RULES),
+            gamma=3, eos_token_id=-1, dtype=jnp.float32)
+        got = engine.generate(PROMPT, max_new_tokens=10, temperature=0.0)
+        assert got == expected
