@@ -120,15 +120,20 @@ class Qwen3ChatBackend:
 
     With ``spec_engine`` (a :class:`~gvl_tpu.models.speculative.
     SpeculativeEngine`), text-only turns decode speculatively (draft
-    proposes, target verifies — same output, fewer target passes);
-    turns that inject an embedding prefix fall back to the plain engine,
-    which supports prefix splicing.
+    proposes, target verifies — same output, fewer target passes).
+    With ``session`` (a :class:`~gvl_tpu.models.session.Qwen3ChatSession`),
+    text-only turns reuse the conversation's KV cache and prefill only
+    the transcript delta (chat templates are append-only).  Turns that
+    inject an embedding prefix always fall back to the plain engine,
+    which supports prefix splicing.  Priority: spec_engine > session >
+    engine.
     """
 
-    def __init__(self, engine, tokenizer, spec_engine=None):
+    def __init__(self, engine, tokenizer, spec_engine=None, session=None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.spec_engine = spec_engine
+        self.session = session
 
     def _render(self, messages: list[dict]) -> list[int]:
         try:
@@ -150,16 +155,20 @@ class Qwen3ChatBackend:
         ids = self._render(messages)
         produced: list[int] = []
         emitted = 0
-        engine = (self.spec_engine
-                  if self.spec_engine is not None
-                  and inputs_embeds_prefix is None else self.engine)
+        if inputs_embeds_prefix is None and self.spec_engine is not None:
+            engine, kwargs = self.spec_engine, {}
+        elif inputs_embeds_prefix is None and self.session is not None:
+            engine, kwargs = self.session, {}
+        else:
+            engine = self.engine
+            kwargs = {"inputs_embeds_prefix": inputs_embeds_prefix}
         for token in engine.stream(
             ids,
             max_new_tokens=config.max_new_tokens,
             temperature=config.temperature,
             top_p=config.top_p,
             top_k=config.top_k,
-            inputs_embeds_prefix=inputs_embeds_prefix,
+            **kwargs,
         ):
             produced.append(token)
             text = self.tokenizer.decode(produced, skip_special_tokens=True)
@@ -625,7 +634,7 @@ def create_reasoning_core(
                 model_config, variables, lora_path)
         tokenizer = AutoTokenizer.from_pretrained(checkpoint_path)
         engine = Qwen3Engine(model_config, variables)
-        spec_engine = None
+        spec_engine = session = None
         if draft_checkpoint_path:
             from gvl_tpu.models.speculative import SpeculativeEngine
 
@@ -636,8 +645,17 @@ def create_reasoning_core(
                 draft_model.config, draft_variables,
                 gamma=speculative_gamma,
                 eos_token_id=engine.eos_token_id)
+        else:
+            # multi-turn prefix caching: later turns prefill only the
+            # transcript delta instead of the whole conversation
+            from gvl_tpu.models.session import Qwen3ChatSession
+
+            session = Qwen3ChatSession(
+                model_config, variables,
+                eos_token_id=engine.eos_token_id)
         backend = Qwen3ChatBackend(engine, tokenizer,
-                                   spec_engine=spec_engine)
+                                   spec_engine=spec_engine,
+                                   session=session)
     else:
         backend = TemplateFakeBackend()
     return ReasoningCore(config, backend=backend,
