@@ -205,12 +205,19 @@ class Qwen3Attention(nn.Module):
                 # speculative verification: the chunk sits at offset
                 # cache_len, so each row attends over the cached prefix
                 # plus its causal slice of the chunk
-                from gvl_tpu.ops.decode_attention import (
-                    chunk_attention_reference,
-                )
-
                 start = jnp.broadcast_to(jnp.atleast_1d(cache_len), (batch,))
-                out = chunk_attention_reference(q, new_k, new_v, start)
+                rows = seq * (n_q // n_kv)
+                if (cfg.use_decode_kernel and rows <= 512
+                        and jax.default_backend() == "tpu"):
+                    from gvl_tpu.ops.decode_attention import chunk_attention
+
+                    out = chunk_attention(q, new_k, new_v, start)
+                else:
+                    from gvl_tpu.ops.decode_attention import (
+                        chunk_attention_reference,
+                    )
+
+                    out = chunk_attention_reference(q, new_k, new_v, start)
             elif seq > 1:
                 # prefill into an empty cache: causal flash over the prompt
                 # only (rows past the true length are masked at decode time)

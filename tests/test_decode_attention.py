@@ -70,3 +70,59 @@ class TestDecodeAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=3e-2, rtol=3e-2)
+
+
+class TestChunkKernel:
+    """Length-clamped chunk kernel (interpret mode) vs the masked einsum."""
+
+    def _mk(self, batch=2, hkv=2, group=2, s_max=256, chunk=5, d=64, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal(
+            (batch, hkv * group, chunk, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal(
+            (batch, hkv, s_max, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal(
+            (batch, hkv, s_max, d)), jnp.float32)
+        return q, k, v
+
+    def test_matches_reference(self):
+        from gvl_tpu.ops.decode_attention import (
+            chunk_attention, chunk_attention_reference)
+
+        q, k, v = self._mk()
+        start = jnp.asarray([37, 128], jnp.int32)
+        got = chunk_attention(q, k, v, start, block_k=64, interpret=True)
+        want = chunk_attention_reference(q, k, v, start)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_start_zero_pure_causal(self):
+        from gvl_tpu.ops.decode_attention import (
+            chunk_attention, chunk_attention_reference)
+
+        q, k, v = self._mk(chunk=8, seed=3)
+        start = jnp.zeros((2,), jnp.int32)
+        got = chunk_attention(q, k, v, start, block_k=64, interpret=True)
+        want = chunk_attention_reference(q, k, v, start)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_garbage_past_live_region_ignored(self):
+        from gvl_tpu.ops.decode_attention import chunk_attention
+
+        q, k, v = self._mk(seed=5)
+        start = jnp.asarray([10, 60], jnp.int32)
+        out_a = chunk_attention(q, k, v, start, block_k=64, interpret=True)
+        # poison keys/values beyond each row's reachable region
+        k2 = k.at[0, :, 16:].set(1e9).at[1, :, 66:].set(-1e9)
+        v2 = v.at[0, :, 16:].set(1e9).at[1, :, 66:].set(-1e9)
+        out_b = chunk_attention(q, k2, v2, start, block_k=64,
+                                interpret=True)
+        np.testing.assert_allclose(out_a, out_b, rtol=1e-6, atol=1e-6)
+
+    def test_row_guard(self):
+        from gvl_tpu.ops.decode_attention import chunk_attention
+
+        q, k, v = self._mk(chunk=5)
+        big_q = jnp.zeros((2, 4, 512, 64), jnp.float32)  # rows = 1024
+        with pytest.raises(ValueError):
+            chunk_attention(big_q, k, v, jnp.zeros((2,), jnp.int32),
+                            interpret=True)
