@@ -17,6 +17,12 @@ Endpoints
                                 continuous-batching engine (requires
                                 :meth:`InferenceService.attach_engine`)
 - ``POST /generate/stream``   — same, chunked newline-delimited token ids
+- ``POST /chat``              — ``{"session_id": str, "prompt_ids": [int]}``
+                                → multi-turn generation with per-session
+                                KV prefix caching (later turns prefill
+                                only the transcript delta; response
+                                reports ``prefilled`` so clients can see
+                                the saving)
 
 Concurrent ``/generate`` callers are batched into ONE decode loop
 (every engine step advances all live requests), unlike the reference
@@ -46,17 +52,51 @@ class InferenceService:
         self._lock = threading.Lock()
         self._engine_server = None
         self._tokenizer = None
+        self._session_factory = None
+        self._sessions: dict = {}
+        self._session_lock = threading.Lock()
 
     # ------------------------------------------------ batched LLM serving
 
-    def attach_engine(self, engine_server, tokenizer=None) -> None:
+    def attach_engine(self, engine_server, tokenizer=None,
+                      session_factory=None) -> None:
         """Attach an :class:`~gvl_tpu.serving.EngineServer` so ``/generate``
         serves raw LLM requests through the shared continuous-batching
         engine. ``tokenizer`` (optional, HF-style ``encode``/``decode``)
         enables ``{"prompt": str}`` requests and decoded-text responses.
+        ``session_factory`` (zero-arg callable returning a
+        :class:`~gvl_tpu.models.session.Qwen3ChatSession`) enables
+        ``POST /chat`` with per-session KV prefix caching.
         """
         self._engine_server = engine_server
         self._tokenizer = tokenizer
+        self._session_factory = session_factory
+
+    def chat(self, body: dict) -> dict:
+        """Multi-turn generation: each session keeps its KV cache, so a
+        turn prefills only the transcript delta (sessions are device-
+        stateful, hence serialized under one lock)."""
+        if self._session_factory is None:
+            raise ValueError(
+                "no chat sessions attached (see attach_engine"
+                "(session_factory=...))")
+        session_id = str(body.get("session_id", "default"))
+        prompt_ids = self._prompt_ids(body)
+        max_new = int(body.get("max_new_tokens", 128))
+        with self._session_lock:
+            session = self._sessions.get(session_id)
+            if session is None:
+                session = self._sessions[session_id] = (
+                    self._session_factory())
+            tokens = session.generate(prompt_ids, max_new_tokens=max_new,
+                                      temperature=float(
+                                          body.get("temperature", 0.0)))
+            prefilled = session.last_ingested
+        result = {"session_id": session_id, "tokens": tokens,
+                  "num_tokens": len(tokens), "prefilled": prefilled}
+        if self._tokenizer is not None:
+            result["text"] = self._tokenizer.decode(tokens)
+        return result
 
     def _prompt_ids(self, body: dict) -> list[int]:
         if "prompt_ids" in body:
@@ -230,6 +270,8 @@ def _make_handler(service: InferenceService):
                     self.wfile.write(b"0\r\n\r\n")
                 elif self.path == "/generate":
                     self._json(200, service.generate(body))
+                elif self.path == "/chat":
+                    self._json(200, service.chat(body))
                 elif self.path == "/generate/stream":
                     stream = service.generate_stream(body)  # validate first
                     self.send_response(200)

@@ -39,11 +39,17 @@ def _attach_llm(service, checkpoint: str, num_slots: int) -> None:
             checkpoint)
         tokenizer = None
     eos = (tokenizer.eos_token_id if tokenizer is not None else None)
+    eos = eos if eos is not None else 151645
     engine = ContinuousBatchingEngine(
-        model.config, variables,
-        eos_token_id=eos if eos is not None else 151645,
-        num_slots=num_slots)
-    service.attach_engine(EngineServer(engine), tokenizer=tokenizer)
+        model.config, variables, eos_token_id=eos, num_slots=num_slots)
+
+    def session_factory():
+        from gvl_tpu.models.session import Qwen3ChatSession
+
+        return Qwen3ChatSession(model.config, variables, eos_token_id=eos)
+
+    service.attach_engine(EngineServer(engine), tokenizer=tokenizer,
+                          session_factory=session_factory)
 
 
 def main(argv=None) -> int:

@@ -379,3 +379,96 @@ class TestAdapterMerge:
         np.testing.assert_allclose(
             np.asarray(merged_out), np.asarray(with_lora),
             atol=1e-4, rtol=1e-4)
+
+
+class TestChatEndpoint:
+    """POST /chat — per-session KV prefix caching over HTTP."""
+
+    @pytest.fixture(scope="class")
+    def stack(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Engine, Qwen3Model
+        from gvl_tpu.models.session import Qwen3ChatSession
+        from gvl_tpu.serving import (
+            ContinuousBatchingEngine,
+            EngineServer,
+            create_server,
+        )
+
+        cfg = Qwen3Config.tiny(max_cache_length=64)
+        model = Qwen3Model(cfg)
+        variables = {"params": model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]}
+        engine_server = EngineServer(ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0))
+        server = create_server(port=0)
+        server.service.attach_engine(
+            engine_server,
+            session_factory=lambda: Qwen3ChatSession(
+                cfg, variables, eos_token_id=-1, dtype=jnp.float32))
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        reference = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                                dtype=jnp.float32)
+        yield url, reference
+        server.shutdown()
+        engine_server.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    def test_multi_turn_prefix_cached(self, stack):
+        url, reference = stack
+        turn1 = [7, 3, 99]
+        doc1 = self._post(url + "/chat", {
+            "session_id": "s1", "prompt_ids": turn1, "max_new_tokens": 4})
+        assert doc1["tokens"] == reference.generate(
+            turn1, max_new_tokens=4, temperature=0.0)
+        assert doc1["prefilled"] == len(turn1)
+        transcript = turn1 + doc1["tokens"] + [5, 18]
+        doc2 = self._post(url + "/chat", {
+            "session_id": "s1", "prompt_ids": transcript,
+            "max_new_tokens": 4})
+        assert doc2["tokens"] == reference.generate(
+            transcript, max_new_tokens=4, temperature=0.0)
+        assert doc2["prefilled"] == 2  # only the new turn's tokens
+
+    def test_sessions_are_isolated(self, stack):
+        url, reference = stack
+        a = self._post(url + "/chat", {
+            "session_id": "a", "prompt_ids": [1, 45, 206],
+            "max_new_tokens": 3})
+        b = self._post(url + "/chat", {
+            "session_id": "b", "prompt_ids": [5, 5, 5],
+            "max_new_tokens": 3})
+        assert a["tokens"] == reference.generate(
+            [1, 45, 206], max_new_tokens=3, temperature=0.0)
+        assert b["tokens"] == reference.generate(
+            [5, 5, 5], max_new_tokens=3, temperature=0.0)
+        assert b["prefilled"] == 3  # session b never saw session a's cache
+
+    def test_chat_without_factory_400(self):
+        from gvl_tpu.serving import create_server
+
+        server = create_server(port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(
+            url + "/chat", data=json.dumps(
+                {"session_id": "x", "prompt_ids": [1]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 400
+        server.shutdown()
