@@ -98,7 +98,9 @@ class PerceptionConfig:
 
     # OCR
     use_ocr: bool = True
-    ocr_backend: str = "native"  # "native" (built-in), "tesseract"
+    ocr_backend: str = "native"  # "native" (JAX det/rec engine,
+    # falls back to fake without outputs/ocr_params.npz), "tesseract",
+    # "jax" (explicit checkpoint), "fake"
 
 
 @dataclass

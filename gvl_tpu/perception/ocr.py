@@ -22,6 +22,7 @@ import logging
 import shutil
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Callable, Optional
 
 import numpy as np
@@ -172,10 +173,23 @@ class TesseractOCR:
 def _resolve_engine(config: OCRConfig) -> Callable:
     if config.backend == "fake":
         return DeterministicFakeOCR()
-    if config.backend == "jax":
+    if config.backend in ("jax", "native"):
+        # "native" = the framework's own JAX det/rec engine with the
+        # shipped synthetic-HUD checkpoint; fake when no weights exist
+        checkpoint = config.checkpoint
+        if checkpoint is None and config.backend == "native":
+            default = (Path(__file__).resolve().parents[2]
+                       / "outputs" / "ocr_params.npz")
+            if default.exists():
+                checkpoint = str(default)
+            else:
+                logger.warning(
+                    "native OCR requested but %s missing (run "
+                    "scripts/train_ocr.py); using fake OCR", default)
+                return DeterministicFakeOCR()
         from gvl_tpu.perception.ocr_model import JaxOCREngine
 
-        return JaxOCREngine(checkpoint=config.checkpoint)
+        return JaxOCREngine(checkpoint=checkpoint)
     wants_tesseract = config.backend in ("auto", "tesseract")
     if wants_tesseract and shutil.which("tesseract") is not None:
         try:

@@ -159,7 +159,6 @@ def run_audio_analysis(video_path: str, timeline, config: SystemConfig):
 def run_ocr_extraction(frames, timeline, config: SystemConfig):
     """OCR each frame; conf>=0.7 & len>=3 filter before timeline entry."""
     ocr = create_ocr_pipeline(
-        "fake" if config.perception.ocr_backend == "native" else
         config.perception.ocr_backend
     )
     ocr_frames = []
@@ -206,8 +205,7 @@ def run_pipelined_perception(
     segmenter = SAMConceptSegmenter(SAMConfig())
     encoder = SigLIPSemanticEncoder()
     ocr = create_ocr_pipeline(
-        "fake" if config.perception.ocr_backend == "native"
-        else config.perception.ocr_backend
+        config.perception.ocr_backend
     )
     sam_step = max(1, int(round(config.inference.fps
                                 / max(config.perception.sam3_fps, 1e-6))))

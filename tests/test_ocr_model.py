@@ -167,3 +167,33 @@ class TestPipelineIntegration:
         canvas, _ = render_frame(["12:34"], TEST_CFG, rng)
         dets = engine((canvas * 255).astype(np.uint8))
         assert any(t == "12:34" for t, _, _ in dets)
+
+
+class TestNativeBackend:
+    def test_native_resolves_to_shipped_checkpoint(self):
+        """backend='native' loads outputs/ocr_params.npz when present."""
+        from pathlib import Path
+
+        from gvl_tpu.perception.ocr import OCRConfig, create_ocr_pipeline
+
+        shipped = Path(__file__).resolve().parents[1] / "outputs" / \
+            "ocr_params.npz"
+        pipeline = create_ocr_pipeline(
+            backend="native", config=OCRConfig(backend="native",
+                                               min_confidence=0.0))
+        if shipped.exists():
+            assert isinstance(pipeline.engine, JaxOCREngine)
+            # shipped full-charset weights read clean HUD text
+            cfg = pipeline.engine.config
+            rng = np.random.default_rng(42)
+            hits = 0
+            for _ in range(4):
+                text = synth_text(rng, cfg.charset)
+                canvas, _ = render_frame([text], cfg, rng)
+                dets = pipeline.engine((canvas * 255).astype(np.uint8))
+                hits += any(t == text for t, _, _ in dets)
+            assert hits >= 2
+        else:  # checkpoint not shipped: graceful fake fallback
+            from gvl_tpu.perception.ocr import DeterministicFakeOCR
+
+            assert isinstance(pipeline.engine, DeterministicFakeOCR)
