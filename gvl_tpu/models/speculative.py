@@ -231,6 +231,41 @@ class SpeculativeEngine:
         self._jit_cache[key] = jax.jit(fn, donate_argnums=(4,))
         return self._jit_cache[key]
 
+    # -------------------------------------------------------- draft hooks
+    # Subclasses can replace the proposal mechanism (e.g. prompt-lookup
+    # drafting needs no model at all); the verify pass is shared.
+
+    def _draft_reset(self) -> None:
+        """Called once per generate(): initialize draft-side state."""
+        self._draft_cache = KVCache.zeros(self.draft_config, 1, self._dtype)
+        self._draft_len = 0    # committed tokens the draft has processed
+
+    def _draft_propose(self, committed: list[int], temperature: float,
+                       rng: jax.Array):
+        """Return (draft_tokens[g], draft_probs) for the next round.
+
+        Base: catch-up ingest + gamma proposals in ONE fused dispatch.
+        """
+        delta = committed[self._draft_len:]
+        size = _bucket(len(delta), self.draft_config.max_cache_length)
+        draft_tokens, draft_probs, self._draft_cache = self._rollout_fn(
+            size, temperature)(
+            self.draft_variables, self._pad(delta, size),
+            len(delta), self._draft_cache, rng)
+        self._draft_len = len(committed)
+        return draft_tokens, draft_probs
+
+    def _draft_commit(self, n_accept: int) -> None:
+        """Called after each verify round with the accepted count.
+
+        Base: of the drafted rows, only the accepted ones that were fed
+        as step inputs (d_1..d_{g-1}) keep valid K/V in the draft cache.
+        """
+        keep = min(n_accept, self.gamma - 1)
+        self._draft_cache = self._draft_cache._replace(
+            length=self._draft_cache.length - (self.gamma - 1) + keep)
+        self._draft_len += keep
+
     # ----------------------------------------------------------- generate
 
     def _pad(self, ids: list[int], size: int) -> jax.Array:
@@ -286,8 +321,8 @@ class SpeculativeEngine:
             raise ValueError("prompt + max_new_tokens exceeds cache")
 
         target_cache = KVCache.zeros(tcfg, 1, self._dtype)
-        draft_cache = KVCache.zeros(dcfg, 1, self._dtype)
         verify = self._verify_fn(temperature)
+        self._draft_reset()
 
         # --- target prefill: cache then holds K/V for committed[:-1] ----
         size = _bucket(len(prompt_ids), tcfg.max_cache_length)
@@ -297,21 +332,14 @@ class SpeculativeEngine:
             len(prompt_ids), target_cache, sub)
         committed = list(prompt_ids) + [int(first)]
         generated = [committed[-1]]
-        draft_len = 0          # committed tokens the draft has processed
         rounds = drafted = accepted = 0
         yield committed[-1]
 
         while (len(generated) < max_new_tokens
                and generated[-1] != self.eos_token_id):
-            # --- one dispatch: draft ingest + gamma proposals ------------
-            delta = committed[draft_len:]
-            size = _bucket(len(delta), dcfg.max_cache_length)
             rng, sub = jax.random.split(rng)
-            draft_tokens, draft_probs, draft_cache = self._rollout_fn(
-                size, temperature)(
-                self.draft_variables, self._pad(delta, size),
-                len(delta), draft_cache, sub)
-            draft_len = len(committed)
+            draft_tokens, draft_probs = self._draft_propose(
+                committed, temperature, sub)
             drafted += gamma
 
             # --- one dispatch: verify + accept + assemble ----------------
@@ -327,13 +355,7 @@ class SpeculativeEngine:
             new_tokens = [int(t) for t in out_tokens[:n_accept + 1]]
             accepted += n_accept
             rounds += 1
-
-            # draft cache: of the drafted rows, only the accepted ones
-            # that were fed as step inputs (d_1..d_{g-1}) stay valid
-            keep = min(n_accept, gamma - 1)
-            draft_cache = draft_cache._replace(
-                length=draft_cache.length - (gamma - 1) + keep)
-            draft_len += keep
+            self._draft_commit(n_accept)
 
             for tok in new_tokens:
                 committed.append(tok)
@@ -351,3 +373,74 @@ class SpeculativeEngine:
             "tokens_per_round": (
                 (len(generated) - 1) / rounds if rounds else 0.0),
         }
+
+
+class PromptLookupEngine(SpeculativeEngine):
+    """Draft-model-free speculation: drafts are copied from the transcript.
+
+    Prompt-lookup decoding: find the most recent earlier occurrence of the
+    last ``ngram`` committed tokens and propose the ``gamma`` tokens that
+    followed it.  The target's verify pass (inherited) guarantees the
+    output: greedy == target-only greedy regardless of proposal quality,
+    and stochastic mode stays distribution-correct because the proposal
+    distribution is a point mass (accept ``d_i`` with probability
+    ``p(d_i)``; resample from ``norm(max(0, p - onehot))`` on rejection).
+
+    Wins when generation quotes its context — exactly the gameplay-QA
+    shape (answers cite timeline lines, HUD strings, entity names).  Zero
+    extra weights, zero draft forward passes: one target dispatch per
+    round plus host-side list matching.
+
+    >>> engine = PromptLookupEngine(cfg, variables, gamma=8, ngram=3)
+    >>> tokens = engine.generate(prompt_ids, temperature=0.0)
+    """
+
+    def __init__(
+        self,
+        target_config: Qwen3Config,
+        target_variables: dict,
+        gamma: int = 8,
+        ngram: int = 3,
+        eos_token_id: int = 151645,
+        dtype=jnp.bfloat16,
+    ):
+        super().__init__(target_config, target_variables,
+                         target_config, target_variables,
+                         gamma=gamma, eos_token_id=eos_token_id,
+                         dtype=dtype)
+        self.ngram = int(ngram)
+
+    def _draft_reset(self) -> None:  # no draft model, no draft cache
+        pass
+
+    def _draft_commit(self, n_accept: int) -> None:
+        pass
+
+    def _ngram_draft(self, committed: list[int]) -> list[int]:
+        """gamma guesses: continuation of the latest earlier match of the
+        final ngram (falling back to shorter ngrams, then repetition)."""
+        gamma = self.gamma
+        for n in range(min(self.ngram, len(committed) - 1), 0, -1):
+            tail = committed[-n:]
+            # scan right-to-left for the most recent earlier occurrence
+            for i in range(len(committed) - n - 1, -1, -1):
+                if committed[i:i + n] == tail:
+                    continuation = committed[i + n:i + n + gamma]
+                    if continuation:
+                        return (continuation
+                                + continuation[-1:] * (gamma
+                                                       - len(continuation)))
+        # no match anywhere: repeat the last token (a guess is free —
+        # the verify pass corrects it)
+        return committed[-1:] * gamma
+
+    def _draft_propose(self, committed: list[int], temperature: float,
+                       rng: jax.Array):
+        draft = jnp.asarray(self._ngram_draft(committed), jnp.int32)
+        if temperature <= 0.0:
+            probs = jnp.zeros((self.gamma, 1), jnp.float32)
+        else:
+            # point-mass proposal: q(d_i) = 1
+            probs = jax.nn.one_hot(
+                draft, self.target_config.vocab_size, dtype=jnp.float32)
+        return draft, probs
