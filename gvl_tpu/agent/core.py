@@ -593,12 +593,16 @@ def create_reasoning_core(
     vl_checkpoint_path: Optional[str] = None,
     draft_checkpoint_path: Optional[str] = None,
     speculative_gamma: int = 4,
+    use_prompt_lookup: bool = False,
 ) -> ReasoningCore:
     """Factory: full Qwen3-VL backend > text Qwen3 backend > fake.
 
     ``draft_checkpoint_path`` (with ``checkpoint_path``) enables
     speculative decoding for text-only turns: the draft model proposes
     ``speculative_gamma`` tokens per target verification pass.
+    ``use_prompt_lookup`` enables draft-model-free speculation instead
+    (drafts copied from the transcript — strong for timeline-QA answers
+    that quote their context).
     """
     config = config or ReasoningCoreConfig()
     backend: ChatBackend
@@ -644,6 +648,12 @@ def create_reasoning_core(
                 model_config, variables,
                 draft_model.config, draft_variables,
                 gamma=speculative_gamma,
+                eos_token_id=engine.eos_token_id)
+        elif use_prompt_lookup:
+            from gvl_tpu.models.speculative import PromptLookupEngine
+
+            spec_engine = PromptLookupEngine(
+                model_config, variables, gamma=speculative_gamma,
                 eos_token_id=engine.eos_token_id)
         else:
             # multi-turn prefix caching: later turns prefill only the
