@@ -114,8 +114,11 @@ class InferenceService:
             raise ValueError("no LLM engine attached (see attach_engine)")
         prompt_ids = self._prompt_ids(body)
         max_new = int(body.get("max_new_tokens", 128))
-        tokens = self._engine_server.generate(prompt_ids, max_new)
+        tokens, prefilled = self._engine_server.generate_with_info(
+            prompt_ids, max_new, session_key=body.get("session_key"))
         result = {"tokens": tokens, "num_tokens": len(tokens)}
+        if body.get("session_key") is not None:
+            result["prefilled"] = prefilled
         if self._tokenizer is not None:
             result["text"] = self._tokenizer.decode(tokens)
         return result
@@ -130,7 +133,8 @@ class InferenceService:
             raise ValueError("no LLM engine attached (see attach_engine)")
         prompt_ids = self._prompt_ids(body)
         max_new = int(body.get("max_new_tokens", 128))
-        return self._engine_server.submit_stream(prompt_ids, max_new)
+        return self._engine_server.submit_stream(
+            prompt_ids, max_new, session_key=body.get("session_key"))
 
     def process(self, video: str) -> dict:
         from scripts.realtime_inference import process_video

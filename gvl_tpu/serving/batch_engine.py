@@ -38,6 +38,8 @@ class Request:
     tokens: list[int] = field(default_factory=list)
     done: bool = False
     slot: Optional[int] = None
+    session_key: Optional[str] = None
+    prefilled: int = 0         # tokens actually prefilled at admission
 
 
 class ContinuousBatchingEngine:
@@ -90,31 +92,63 @@ class ContinuousBatchingEngine:
         self._queue: list[Request] = []
         self._requests: dict[int, Request] = {}
         self._ids = itertools.count()
+        # per-slot prefix caching: tokens whose K/V live in each slot,
+        # and (for idle slots) which session last owned the slot
+        self._slot_cached: list[list[int]] = [[] for _ in range(num_slots)]
+        self._slot_session: list[Optional[str]] = [None] * num_slots
+        self._slot_last_used: list[int] = [0] * num_slots
+        self._ticks = 0
 
-        self._prefill_fn = self._build_prefill()
+        import dataclasses as _dc
+
+        self._chunk_model = Qwen3Model(
+            _dc.replace(config, chunk_verify=True))
         self._step_fn = self._build_step()
+        self._delta_fns: dict[int, object] = {}
 
     # ----------------------------------------------------------- jit bodies
 
-    def _build_prefill(self):
-        model = self.model
-        cfg = self.config
+    def _delta_prefill_fn(self, size: int):
+        """Prefill a transcript DELTA into one slot at its cache offset.
+
+        The chunk-verify model makes a multi-token chunk at a nonzero
+        offset exact (rows attend cached prefix + causal self), so a
+        returning session pays O(delta) prefill instead of O(transcript).
+        """
+        if size in self._delta_fns:
+            return self._delta_fns[size]
+        model = self._chunk_model
         temperature, top_p, top_k = self._sampling
 
-        @jax.jit
-        def prefill(variables, tokens, true_len, rng):
-            """Batch-1 prefill; returns first sampled token + small cache."""
-            small = KVCache.zeros(cfg, batch=1, dtype=self._dtype)
-            positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)
-            logits, small = model.apply(
-                variables, tokens, positions=positions, cache=small
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def delta_prefill(variables, k_all, v_all, lengths, slot, tokens,
+                          true_len, rng):
+            offset = lengths[slot]
+            shape = k_all[0].shape  # [slots, H, S, D]
+            small = KVCache(
+                k=tuple(jax.lax.dynamic_slice(
+                    k, (slot, 0, 0, 0), (1, *shape[1:])) for k in k_all),
+                v=tuple(jax.lax.dynamic_slice(
+                    v, (slot, 0, 0, 0), (1, *shape[1:])) for v in v_all),
+                length=offset,
             )
+            positions = offset + jnp.arange(size, dtype=jnp.int32)
+            logits, small = model.apply(
+                variables, tokens, positions=positions, cache=small)
             idx = jnp.full((1, 1, 1), true_len - 1)
             last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
             token = sample_logits(last, rng, temperature, top_p, top_k)
-            return token[0], small
+            new_k = tuple(
+                jax.lax.dynamic_update_slice(big, s, (slot, 0, 0, 0))
+                for big, s in zip(k_all, small.k))
+            new_v = tuple(
+                jax.lax.dynamic_update_slice(big, s, (slot, 0, 0, 0))
+                for big, s in zip(v_all, small.v))
+            new_lengths = lengths.at[slot].set(offset + true_len)
+            return token[0], new_k, new_v, new_lengths
 
-        return prefill
+        self._delta_fns[size] = delta_prefill
+        return delta_prefill
 
     def _build_step(self):
         model = self.model
@@ -139,52 +173,89 @@ class ContinuousBatchingEngine:
 
     # -------------------------------------------------------------- public
 
-    def submit(self, prompt_ids: list[int], max_new_tokens: int = 128) -> int:
+    def submit(self, prompt_ids: list[int], max_new_tokens: int = 128,
+               session_key: Optional[str] = None) -> int:
+        """Queue a prompt. ``session_key`` enables per-slot prefix
+        caching: when the same key returns with a prompt that EXTENDS its
+        previous transcript, only the delta is prefilled."""
         request = Request(
             request_id=next(self._ids),
             prompt_ids=list(prompt_ids),
             max_new_tokens=max_new_tokens,
+            session_key=session_key,
         )
         self._requests[request.request_id] = request
         self._queue.append(request)
         return request.request_id
 
+    DELTA_BUCKETS = (8, 16, 32, 64) + PROMPT_BUCKETS
+
     def _bucket(self, n: int) -> int:
-        for b in self.PROMPT_BUCKETS:
+        for b in self.DELTA_BUCKETS:
             if n <= b:
                 return min(b, self.config.max_cache_length)
         return self.config.max_cache_length
 
+    def _pick_slot(self, request: Request) -> Optional[int]:
+        """Session-affine slot choice; LRU eviction of idle reservations."""
+        idle = [s for s in range(self.num_slots)
+                if self._slot_req[s] is None]
+        if not idle:
+            return None
+        if request.session_key is not None:
+            for slot in idle:
+                if self._slot_session[slot] == request.session_key:
+                    return slot
+        unreserved = [s for s in idle if self._slot_session[s] is None]
+        if unreserved:
+            return unreserved[0]
+        return min(idle, key=lambda s: self._slot_last_used[s])
+
     def _admit(self) -> None:
-        """Prefill queued requests into free slots."""
-        for slot in range(self.num_slots):
-            if self._slot_req[slot] is not None or not self._queue:
-                continue
-            request = self._queue.pop(0)
-            ids = np.asarray(request.prompt_ids, np.int32)[None]
-            true_len = ids.shape[1]
-            pad = self._bucket(true_len) - true_len
-            if pad:
-                ids = np.pad(ids, ((0, 0), (0, pad)))
+        """Prefill queued requests into free slots (delta when the slot
+        already caches a prefix of the prompt)."""
+        while self._queue:
+            request = self._queue[0]
+            slot = self._pick_slot(request)
+            if slot is None:
+                return
+            self._queue.pop(0)
+            prompt = request.prompt_ids
+            cached = self._slot_cached[slot]
+            reuse = (request.session_key is not None
+                     and self._slot_session[slot] == request.session_key
+                     and len(cached) <= len(prompt)
+                     and prompt[:len(cached)] == cached
+                     and len(prompt) + request.max_new_tokens + 1
+                     <= self.config.max_cache_length)
+            if not reuse:
+                # fresh slot: offset 0 (stale rows are masked + overwritten)
+                self.cache = self.cache._replace(
+                    length=self.cache.length.at[slot].set(0))
+                cached = []
+            delta = prompt[len(cached):]
+            if not delta:       # prompt == cached transcript exactly
+                delta = prompt[-1:]
+                cached = cached[:-1]
+                self.cache = self.cache._replace(
+                    length=self.cache.length.at[slot].set(len(cached)))
+            size = self._bucket(len(delta))
+            padded = jnp.asarray(
+                [delta + [0] * (size - len(delta))], jnp.int32)
             self._rng, sub = jax.random.split(self._rng)
-            token, small = self._prefill_fn(
-                self.variables, jnp.asarray(ids), jnp.int32(true_len), sub
-            )
-            # copy the prefilled rows into this slot of the shared cache
-            new_k = tuple(
-                jax.lax.dynamic_update_slice(big, s, (slot, 0, 0, 0))
-                for big, s in zip(self.cache.k, small.k)
-            )
-            new_v = tuple(
-                jax.lax.dynamic_update_slice(big, s, (slot, 0, 0, 0))
-                for big, s in zip(self.cache.v, small.v)
-            )
-            length = self.cache.length.at[slot].set(true_len)
-            self.cache = KVCache(k=new_k, v=new_v, length=length)
-            first = int(token)
+            token, new_k, new_v, new_lengths = self._delta_prefill_fn(size)(
+                self.variables, self.cache.k, self.cache.v,
+                self.cache.length, jnp.int32(slot), padded,
+                jnp.int32(len(delta)), sub)
+            self.cache = KVCache(k=new_k, v=new_v, length=new_lengths)
+            request.prefilled = len(delta)
             request.slot = slot
             self._slot_req[slot] = request
-            self._record_token(request, first)
+            self._slot_cached[slot] = list(prompt)
+            self._slot_session[slot] = request.session_key
+            self._ticks += 1
+            self._slot_last_used[slot] = self._ticks
+            self._record_token(request, int(token))
 
     def _record_token(self, request: Request, token: int) -> None:
         if token == self.eos_token_id:
@@ -209,6 +280,10 @@ class ContinuousBatchingEngine:
             [r is not None for r in self._slot_req], bool)
         if not active_mask.any():
             return {}
+        # the token fed this step enters each active slot's cache
+        for slot, request in enumerate(self._slot_req):
+            if request is not None:
+                self._slot_cached[slot].append(int(self._last_token[slot]))
         self._rng, sub = jax.random.split(self._rng)
         tokens, self.cache = self._step_fn(
             self.variables, jnp.asarray(self._last_token), self.cache,

@@ -42,12 +42,18 @@ class EngineServer:
     # -------------------------------------------------------------- public
 
     def submit_stream(
-        self, prompt_ids: list[int], max_new_tokens: int = 128
+        self, prompt_ids: list[int], max_new_tokens: int = 128,
+        session_key: Optional[str] = None,
     ) -> Iterator[int]:
-        """Submit a prompt; returns an iterator of generated token ids."""
+        """Submit a prompt; returns an iterator of generated token ids.
+
+        ``session_key`` opts into the engine's per-slot prefix caching —
+        a returning session whose prompt extends its previous transcript
+        prefills only the delta."""
         stream: queue.Queue = queue.Queue()
         with self._lock:
-            request_id = self.engine.submit(prompt_ids, max_new_tokens)
+            request_id = self.engine.submit(prompt_ids, max_new_tokens,
+                                            session_key=session_key)
             self._streams[request_id] = stream
         self._wake.set()
 
@@ -61,8 +67,30 @@ class EngineServer:
         return tokens()
 
     def generate(self, prompt_ids: list[int],
-                 max_new_tokens: int = 128) -> list[int]:
-        return list(self.submit_stream(prompt_ids, max_new_tokens))
+                 max_new_tokens: int = 128,
+                 session_key: Optional[str] = None) -> list[int]:
+        return self.generate_with_info(prompt_ids, max_new_tokens,
+                                       session_key=session_key)[0]
+
+    def generate_with_info(
+        self, prompt_ids: list[int], max_new_tokens: int = 128,
+        session_key: Optional[str] = None,
+    ) -> tuple[list[int], int]:
+        """Like :meth:`generate`, also returning how many prompt tokens
+        were actually prefilled (the delta, for returning sessions)."""
+        stream: queue.Queue = queue.Queue()
+        with self._lock:
+            request_id = self.engine.submit(prompt_ids, max_new_tokens,
+                                            session_key=session_key)
+            self._streams[request_id] = stream
+        self._wake.set()
+        tokens: list[int] = []
+        while True:
+            item = stream.get()
+            if item is _DONE:
+                break
+            tokens.append(item)
+        return tokens, self.engine._requests[request_id].prefilled
 
     def shutdown(self) -> None:
         self._stop.set()

@@ -117,3 +117,93 @@ class TestEngineServer:
         server.shutdown()
         assert out1 == expected[0][:4]
         assert out2 == expected[1][:4]
+
+
+class TestSlotPrefixCaching:
+    """session_key: returning sessions prefill only the transcript delta."""
+
+    def make(self, model_setup, num_slots=2):
+        cfg, variables = model_setup
+        return ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=num_slots,
+            dtype=jnp.float32, temperature=0.0)
+
+    def test_returning_session_prefills_delta_only(self, model_setup):
+        cfg, variables = model_setup
+        engine = self.make(model_setup)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=4,
+                             session_key="alice")
+        out1 = engine.run()[rid1]
+        assert engine._requests[rid1].prefilled == len(PROMPTS[0])
+        transcript = PROMPTS[0] + out1 + [17, 4]
+        rid2 = engine.submit(transcript, max_new_tokens=4,
+                             session_key="alice")
+        out2 = engine.run()[rid2]
+        # delta = the new turn (2) + the final generated token, which was
+        # recorded but never fed back (the request ended at max_new)
+        assert engine._requests[rid2].prefilled == 3
+        # exactness vs a fresh single-request engine on the full transcript
+        fresh = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                            dtype=jnp.float32)
+        assert out2 == fresh.generate(transcript, max_new_tokens=4,
+                                      temperature=0.0)
+
+    def test_divergent_prompt_full_prefill(self, model_setup):
+        cfg, variables = model_setup
+        engine = self.make(model_setup)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=3,
+                             session_key="s")
+        engine.run()
+        other = [100, 101, 102]
+        rid2 = engine.submit(other, max_new_tokens=3, session_key="s")
+        out = engine.run()[rid2]
+        assert engine._requests[rid2].prefilled == len(other)
+        fresh = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                            dtype=jnp.float32)
+        assert out == fresh.generate(other, max_new_tokens=3,
+                                     temperature=0.0)
+
+    def test_eviction_when_slots_exhausted(self, model_setup):
+        cfg, variables = model_setup
+        engine = self.make(model_setup, num_slots=1)
+        engine.run() if False else None
+        ra = engine.submit(PROMPTS[0], max_new_tokens=3, session_key="a")
+        out_a = engine.run()[ra]
+        rb = engine.submit(PROMPTS[1], max_new_tokens=3, session_key="b")
+        engine.run()
+        # "a" was evicted by "b": returning "a" must re-prefill fully
+        transcript = PROMPTS[0] + out_a + [9]
+        rc = engine.submit(transcript, max_new_tokens=3, session_key="a")
+        out_c = engine.run()[rc]
+        assert engine._requests[rc].prefilled == len(transcript)
+        fresh = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                            dtype=jnp.float32)
+        assert out_c == fresh.generate(transcript, max_new_tokens=3,
+                                       temperature=0.0)
+
+    def test_exact_transcript_reask_refeeds_one(self, model_setup):
+        cfg, variables = model_setup
+        engine = self.make(model_setup)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=3,
+                             session_key="x")
+        out1 = engine.run()[rid1]
+        transcript = PROMPTS[0] + out1
+        rid2 = engine.submit(transcript, max_new_tokens=3,
+                             session_key="x")
+        out2 = engine.run()[rid2]
+        assert engine._requests[rid2].prefilled == 1
+        fresh = Qwen3Engine(cfg, variables, eos_token_id=-1,
+                            dtype=jnp.float32)
+        assert out2 == fresh.generate(transcript, max_new_tokens=3,
+                                      temperature=0.0)
+
+    def test_sessions_do_not_break_plain_batching(self, model_setup):
+        """Mixed session + plain requests still match the single engine."""
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=4)
+        engine = self.make(model_setup)
+        rids = [engine.submit(PROMPTS[0], 4, session_key="m"),
+                engine.submit(PROMPTS[1], 4),
+                engine.submit(PROMPTS[2], 4)]
+        results = engine.run()
+        assert [results[r] for r in rids] == [e[:4] for e in expected]
