@@ -53,8 +53,9 @@ class InferenceService:
         self._engine_server = None
         self._tokenizer = None
         self._session_factory = None
-        self._sessions: dict = {}
+        self._sessions: dict = {}       # insertion-ordered: LRU via move
         self._session_lock = threading.Lock()
+        self.max_sessions = 64          # oldest-idle evicted beyond this
 
     # ------------------------------------------------ batched LLM serving
 
@@ -84,10 +85,14 @@ class InferenceService:
         prompt_ids = self._prompt_ids(body)
         max_new = int(body.get("max_new_tokens", 128))
         with self._session_lock:
-            session = self._sessions.get(session_id)
+            session = self._sessions.pop(session_id, None)
             if session is None:
-                session = self._sessions[session_id] = (
-                    self._session_factory())
+                if len(self._sessions) >= self.max_sessions:
+                    evicted, _ = next(iter(self._sessions.items()))
+                    del self._sessions[evicted]   # oldest-idle (LRU)
+                    logger.info("evicted chat session %r", evicted)
+                session = self._session_factory()
+            self._sessions[session_id] = session  # re-insert = most recent
             tokens = session.generate(prompt_ids, max_new_tokens=max_new,
                                       temperature=float(
                                           body.get("temperature", 0.0)))
