@@ -140,9 +140,9 @@ class FeatureCache:
 
     def _load_torch(self, path: Path, key: str) -> Optional[dict]:
         try:
-            import torch
+            from gvl_tpu.utils.torch_io import safe_torch_load
 
-            blob = torch.load(path, map_location="cpu", weights_only=False)
+            blob = safe_torch_load(path)
             features = {
                 k: (v.numpy() if hasattr(v, "numpy") else v)
                 for k, v in blob.items()

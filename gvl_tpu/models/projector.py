@@ -175,9 +175,9 @@ class ProjectorBank:
     #    {"siglip": {"net.0.weight": [llm, enc], "net.0.bias": [llm],
     #                "net.2.weight": [llm, llm], "net.2.bias": [llm]}, ...}
     def _load_torch(self, path: Path) -> None:
-        import torch
+        from gvl_tpu.utils.torch_io import safe_torch_load
 
-        blob = torch.load(path, map_location="cpu", weights_only=False)
+        blob = safe_torch_load(path)
         for name in MODALITY_DIMS:
             sd = blob.get(name)
             if sd is None:

@@ -207,16 +207,20 @@ class Qwen3Attention(nn.Module):
                 # plus its causal slice of the chunk
                 start = jnp.broadcast_to(jnp.atleast_1d(cache_len), (batch,))
                 rows = seq * (n_q // n_kv)
-                if (cfg.use_decode_kernel and rows <= 512
-                        and jax.default_backend() == "tpu"):
-                    from gvl_tpu.ops.decode_attention import chunk_attention
+                from gvl_tpu.ops.decode_attention import (
+                    chunk_attention,
+                    chunk_attention_reference,
+                )
 
-                    out = chunk_attention(q, new_k, new_v, start)
-                else:
-                    from gvl_tpu.ops.decode_attention import (
-                        chunk_attention_reference,
+                if cfg.use_decode_kernel and rows <= 512:
+                    # platform resolved at lowering time: the Pallas kernel
+                    # only compiles into TPU programs, never a CPU mesh
+                    out = jax.lax.platform_dependent(
+                        q, new_k, new_v, start,
+                        tpu=chunk_attention,
+                        default=chunk_attention_reference,
                     )
-
+                else:
                     out = chunk_attention_reference(q, new_k, new_v, start)
             elif seq > 1:
                 # prefill into an empty cache: causal flash over the prompt
@@ -226,17 +230,18 @@ class Qwen3Attention(nn.Module):
                 # single-token decode over the live prefix only
                 lengths = jnp.broadcast_to(
                     jnp.atleast_1d(cache_len), (batch,)) + 1
-                if cfg.use_decode_kernel and jax.default_backend() == "tpu":
-                    from gvl_tpu.ops.decode_attention import decode_attention
+                from gvl_tpu.ops.decode_attention import (
+                    decode_attention,
+                    decode_attention_reference,
+                )
 
-                    out = decode_attention(
-                        q[:, :, 0], new_k, new_v, lengths
+                if cfg.use_decode_kernel:
+                    out = jax.lax.platform_dependent(
+                        q[:, :, 0], new_k, new_v, lengths,
+                        tpu=decode_attention,
+                        default=decode_attention_reference,
                     )[:, :, None, :]
                 else:
-                    from gvl_tpu.ops.decode_attention import (
-                        decode_attention_reference,
-                    )
-
                     out = decode_attention_reference(
                         q[:, :, 0], new_k, new_v, lengths
                     )[:, :, None, :]

@@ -119,6 +119,25 @@ class Qwen3ChatSession:
         self.cache = None
         self._cached = []
 
+    def cache_nbytes(self) -> int:
+        """Device bytes one live session pins (K+V, all layers)."""
+        cfg = self.config
+        return (2 * cfg.num_layers * cfg.num_kv_heads
+                * cfg.max_cache_length * cfg.head_dim
+                * jnp.dtype(self._dtype).itemsize)
+
+    def release(self) -> None:
+        """Free the device KV cache eagerly (server eviction path) —
+        dropping the Python reference alone leaves HBM pinned until GC."""
+        if self.cache is not None:
+            leaves = jax.tree_util.tree_leaves((self.cache.k, self.cache.v))
+            for buf in leaves:
+                try:
+                    buf.delete()
+                except Exception:  # already donated/deleted
+                    pass
+        self.reset()
+
     def stream(
         self,
         prompt_ids: list[int] | np.ndarray,

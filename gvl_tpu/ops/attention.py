@@ -328,12 +328,21 @@ def attention_reference(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attention(q, k, v, causal, sm_scale, kv_len):
-    if jax.default_backend() == "tpu":
-        return flash_attention(
-            q, k, v, causal=causal, sm_scale=sm_scale, kv_len=kv_len
-        )
-    return attention_reference(
-        q, k, v, causal=causal, sm_scale=sm_scale, kv_len=kv_len
+    # Dispatch on the platform this computation actually LOWERS for, not
+    # the process default backend: under the axon tunnel the default is
+    # "tpu" even when the enclosing jit targets a CPU mesh (virtual
+    # 8-device tests / the driver's dryrun), and pallas_call would fail
+    # there.  lax.platform_dependent resolves per lowering platform, so
+    # the Pallas branch is only ever compiled for real TPU programs.
+    return jax.lax.platform_dependent(
+        q, k, v,
+        tpu=functools.partial(
+            flash_attention, causal=causal, sm_scale=sm_scale, kv_len=kv_len
+        ),
+        default=functools.partial(
+            attention_reference,
+            causal=causal, sm_scale=sm_scale, kv_len=kv_len,
+        ),
     )
 
 

@@ -40,6 +40,17 @@ from typing import Optional
 
 logger = logging.getLogger(__name__)
 
+# Server-side ceiling on caller-controlled decode length: an unauthenticated
+# caller must not be able to pin a slot for an unbounded number of steps.
+MAX_NEW_TOKENS_LIMIT = 2048
+
+
+def _max_new_tokens(body: dict) -> int:
+    value = int(body.get("max_new_tokens", 128))
+    if value < 1:
+        raise ValueError("max_new_tokens must be >= 1")
+    return min(value, MAX_NEW_TOKENS_LIMIT)
+
 
 class InferenceService:
     """Owns processed videos and routes questions to their loops."""
@@ -55,7 +66,10 @@ class InferenceService:
         self._session_factory = None
         self._sessions: dict = {}       # insertion-ordered: LRU via move
         self._session_lock = threading.Lock()
-        self.max_sessions = 64          # oldest-idle evicted beyond this
+        # Count bound refined to an HBM-bytes bound on first session
+        # creation (each session pins a full KV cache on device).
+        self.max_sessions = 64
+        self._sized_from_hbm = False
 
     # ------------------------------------------------ batched LLM serving
 
@@ -83,15 +97,18 @@ class InferenceService:
                 "(session_factory=...))")
         session_id = str(body.get("session_id", "default"))
         prompt_ids = self._prompt_ids(body)
-        max_new = int(body.get("max_new_tokens", 128))
+        max_new = _max_new_tokens(body)
         with self._session_lock:
             session = self._sessions.pop(session_id, None)
             if session is None:
-                if len(self._sessions) >= self.max_sessions:
-                    evicted, _ = next(iter(self._sessions.items()))
-                    del self._sessions[evicted]   # oldest-idle (LRU)
-                    logger.info("evicted chat session %r", evicted)
+                while len(self._sessions) >= self.max_sessions:
+                    evicted_id, evicted = next(iter(self._sessions.items()))
+                    del self._sessions[evicted_id]   # oldest-idle (LRU)
+                    if hasattr(evicted, "release"):
+                        evicted.release()  # free its HBM now, not at GC
+                    logger.info("evicted chat session %r", evicted_id)
                 session = self._session_factory()
+                self._size_session_bound(session)
             self._sessions[session_id] = session  # re-insert = most recent
             tokens = session.generate(prompt_ids, max_new_tokens=max_new,
                                       temperature=float(
@@ -102,6 +119,35 @@ class InferenceService:
         if self._tokenizer is not None:
             result["text"] = self._tokenizer.decode(tokens)
         return result
+
+    def _size_session_bound(self, session) -> None:
+        """Refine ``max_sessions`` so total pinned KV fits device memory.
+
+        64 idle 8B sessions at an 8K cache would pin ~75 GB — far past
+        HBM.  Budget: half of the device's free memory (the other half
+        stays for activations / the batching engine), floor of 1.
+        """
+        if self._sized_from_hbm or not hasattr(session, "cache_nbytes"):
+            return
+        self._sized_from_hbm = True
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            free = (stats.get("bytes_limit", 0)
+                    - stats.get("bytes_in_use", 0))
+            per_session = session.cache_nbytes()
+            if free > 0 and per_session > 0:
+                fit = max(1, int(free // 2 // per_session))
+                if fit < self.max_sessions:
+                    logger.info(
+                        "max_sessions %d -> %d (%.1f MB KV/session, "
+                        "%.1f GB free HBM)", self.max_sessions, fit,
+                        per_session / 2**20, free / 2**30)
+                    self.max_sessions = fit
+        except Exception:   # CPU backend / no memory_stats: keep default
+            logger.debug("could not size session bound from HBM",
+                         exc_info=True)
 
     def _prompt_ids(self, body: dict) -> list[int]:
         if "prompt_ids" in body:
@@ -118,7 +164,7 @@ class InferenceService:
         if self._engine_server is None:
             raise ValueError("no LLM engine attached (see attach_engine)")
         prompt_ids = self._prompt_ids(body)
-        max_new = int(body.get("max_new_tokens", 128))
+        max_new = _max_new_tokens(body)
         tokens, prefilled = self._engine_server.generate_with_info(
             prompt_ids, max_new, session_key=body.get("session_key"))
         result = {"tokens": tokens, "num_tokens": len(tokens)}
@@ -137,7 +183,7 @@ class InferenceService:
         if self._engine_server is None:
             raise ValueError("no LLM engine attached (see attach_engine)")
         prompt_ids = self._prompt_ids(body)
-        max_new = int(body.get("max_new_tokens", 128))
+        max_new = _max_new_tokens(body)
         return self._engine_server.submit_stream(
             prompt_ids, max_new, session_key=body.get("session_key"))
 
@@ -316,7 +362,10 @@ def create_server(
     return server
 
 
-def serve(host: str = "0.0.0.0", port: int = 8080, config=None) -> None:
+def serve(host: str = "127.0.0.1", port: int = 8080, config=None) -> None:
+    """Serve forever.  Default bind is loopback: the API has no
+    authentication and ``/process`` reads local file paths — exposing it
+    beyond localhost requires a reverse proxy with auth in front."""
     server = create_server(host, port, config)
     logger.info("serving on %s:%d", host, port)
     server.serve_forever()

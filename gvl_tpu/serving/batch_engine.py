@@ -177,7 +177,21 @@ class ContinuousBatchingEngine:
                session_key: Optional[str] = None) -> int:
         """Queue a prompt. ``session_key`` enables per-slot prefix
         caching: when the same key returns with a prompt that EXTENDS its
-        previous transcript, only the delta is prefilled."""
+        previous transcript, only the delta is prefilled.
+
+        Raises ValueError when prompt + decode budget cannot fit the KV
+        cache: past ``max_cache_length`` the .at[] scatter writes would be
+        silently dropped (out-of-bounds drop semantics) while decode
+        attention masks with length+1 rows — stale reads, wrong tokens.
+        Rejecting here lets the HTTP layer return 400 instead of wedging.
+        """
+        need = len(prompt_ids) + max_new_tokens + 1
+        if need > self.config.max_cache_length:
+            raise ValueError(
+                f"prompt ({len(prompt_ids)} tokens) + max_new_tokens "
+                f"({max_new_tokens}) + 1 = {need} exceeds max_cache_length="
+                f"{self.config.max_cache_length}"
+            )
         request = Request(
             request_id=next(self._ids),
             prompt_ids=list(prompt_ids),

@@ -19,6 +19,19 @@ logger = logging.getLogger(__name__)
 _DONE = object()
 
 
+class EngineError(RuntimeError):
+    """A request failed inside the driver thread."""
+
+
+class _Failure:
+    """Error sentinel pushed to a stream when its request dies."""
+
+    __slots__ = ("message",)
+
+    def __init__(self, message: str):
+        self.message = message
+
+
 class EngineServer:
     """Owns the batching engine + driver thread; hands out token streams.
 
@@ -62,6 +75,8 @@ class EngineServer:
                 item = stream.get()
                 if item is _DONE:
                     return
+                if isinstance(item, _Failure):
+                    raise EngineError(item.message)
                 yield item
 
         return tokens()
@@ -89,6 +104,8 @@ class EngineServer:
             item = stream.get()
             if item is _DONE:
                 break
+            if isinstance(item, _Failure):
+                raise EngineError(item.message)
             tokens.append(item)
         return tokens, self.engine._requests[request_id].prefilled
 
@@ -109,7 +126,27 @@ class EngineServer:
                 self._wake.clear()
                 continue
             with self._lock:
-                self.engine.step()
+                try:
+                    self.engine.step()
+                except Exception as exc:  # noqa: BLE001 — driver must live
+                    # One bad request (e.g. a trace error during its delta
+                    # prefill) must not kill the driver: every consumer
+                    # would then block forever on stream.get().  Fail all
+                    # live streams and keep driving.
+                    logger.exception("engine.step() failed; "
+                                     "failing %d live stream(s)",
+                                     len(self._streams))
+                    failure = _Failure(f"engine step failed: {exc!r}")
+                    for request_id in list(self._streams):
+                        self._streams.pop(request_id).put(failure)
+                        sent.pop(request_id, None)
+                        request = self.engine._requests.get(request_id)
+                        if request is not None:
+                            request.done = True
+                            if request.slot is not None:
+                                self.engine._slot_req[request.slot] = None
+                                request.slot = None
+                    continue
                 # flush newly-recorded tokens to each request's stream
                 for request_id in list(self._streams):
                     request = self.engine._requests[request_id]

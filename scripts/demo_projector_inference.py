@@ -23,9 +23,9 @@ from gvl_tpu.fusion import ModalityType, TimelineIndexer
 
 def load_embeddings(path: Path) -> dict:
     if path.suffix == ".pt":
-        import torch
+        from gvl_tpu.utils.torch_io import safe_torch_load
 
-        blob = torch.load(path, map_location="cpu", weights_only=False)
+        blob = safe_torch_load(path)
         return {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
                 for k, v in blob.items()}
     with np.load(path) as z:

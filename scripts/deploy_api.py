@@ -54,7 +54,11 @@ def _attach_llm(service, checkpoint: str, num_slots: int) -> None:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address (default loopback — the API is unauthenticated "
+             "and /process reads local paths; put a reverse proxy with "
+             "auth in front before binding 0.0.0.0)")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--preset", default="light",
                         choices=["light", "standard", "full"])

@@ -118,6 +118,53 @@ class TestEngineServer:
         assert out1 == expected[0][:4]
         assert out2 == expected[1][:4]
 
+    def test_oversized_prompt_rejected_at_submit(self, model_setup):
+        """prompt + decode budget past max_cache_length must raise in
+        submit() (→ HTTP 400), not wedge the driver thread later."""
+        cfg, variables = model_setup
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=1,
+            dtype=jnp.float32, temperature=0.0)
+        too_long = list(range(cfg.max_cache_length + 1))
+        with pytest.raises(ValueError, match="max_cache_length"):
+            engine.submit(too_long, max_new_tokens=1)
+        # fits alone, but not with the decode budget
+        prompt = list(range(cfg.max_cache_length - 2))
+        with pytest.raises(ValueError, match="max_cache_length"):
+            engine.submit(prompt, max_new_tokens=8)
+        # boundary case still admitted
+        engine.submit([1, 2, 3],
+                      max_new_tokens=cfg.max_cache_length - 4)
+
+    def test_driver_survives_step_failure(self, model_setup):
+        """A step() exception fails the live streams (EngineError) but
+        the driver keeps serving subsequent requests."""
+        from gvl_tpu.serving.engine_server import EngineError, EngineServer
+
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=4)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=1,
+            dtype=jnp.float32, temperature=0.0)
+        server = EngineServer(engine)
+
+        real_step = engine.step
+        calls = {"n": 0}
+
+        def flaky_step():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device error")
+            return real_step()
+
+        engine.step = flaky_step
+        with pytest.raises(EngineError, match="injected device error"):
+            server.generate(PROMPTS[0], max_new_tokens=4)
+        # the driver thread must still be alive and serving
+        out = server.generate(PROMPTS[1], max_new_tokens=4)
+        server.shutdown()
+        assert out == expected[1][:4]
+
 
 class TestSlotPrefixCaching:
     """session_key: returning sessions prefill only the transcript delta."""

@@ -511,6 +511,8 @@ class TestServiceSessionLRU:
 
         created = []
 
+        released = []
+
         class FakeSession:
             def __init__(self, n):
                 self.n = n
@@ -519,6 +521,9 @@ class TestServiceSessionLRU:
             def generate(self, ids, max_new_tokens, temperature):
                 self.last_ingested = len(ids)
                 return [self.n]
+
+            def release(self):
+                released.append(self.n)
 
         service = InferenceService.__new__(InferenceService)
         service._engine_server = object()
@@ -530,13 +535,31 @@ class TestServiceSessionLRU:
 
         service._session_lock = threading.Lock()
         service.max_sessions = 2
+        service._sized_from_hbm = True   # skip HBM-based resizing here
         for sid in ("a", "b"):
             service.chat({"session_id": sid, "prompt_ids": [1]})
         service.chat({"session_id": "a", "prompt_ids": [1]})  # touch a
         service.chat({"session_id": "c", "prompt_ids": [1]})  # evicts b
         assert set(service._sessions) == {"a", "c"}
+        # evicted session had its device cache freed eagerly
+        assert released == [1]         # session "b" was created second
         # returning b gets a FRESH session (was evicted)
         service.chat({"session_id": "b", "prompt_ids": [1]})
         assert len(created) == 4       # a, b, c + fresh b after eviction
         # "a" (the older idle at that point) was evicted to admit "b"
         assert set(service._sessions) == {"b", "c"}
+        assert released == [1, 0]
+
+    def test_max_new_tokens_clamped(self):
+        """Caller-controlled decode length is clamped server-side."""
+        from gvl_tpu.serving.api import (
+            MAX_NEW_TOKENS_LIMIT,
+            _max_new_tokens,
+        )
+
+        assert _max_new_tokens({}) == 128
+        assert _max_new_tokens({"max_new_tokens": 5}) == 5
+        assert _max_new_tokens(
+            {"max_new_tokens": 10**9}) == MAX_NEW_TOKENS_LIMIT
+        with pytest.raises(ValueError):
+            _max_new_tokens({"max_new_tokens": 0})
