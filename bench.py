@@ -1,16 +1,28 @@
 """Round benchmark: prints ONE JSON line for the driver.
 
-Headline metric: perception-encoder throughput — SigLIP2-so400m-patch14-384
-(the perception workhorse, 428M params) images/sec on one chip, bf16,
-batch 8.  ``vs_baseline`` is the fraction of the BASELINE.json target of
-300 perception fps/chip.
+Headline metric: SigLIP2-so400m tower throughput (img/s, the upper bound
+on perception) with ``vs_baseline`` against the BASELINE.json target of
+300 perception fps/chip.  The same line carries the honest companions in
+``extra``:
+
+- ``perception_e2e_fps`` — frames/s through the REAL pipelined perception
+  stack (JAX segmenter + tracking → region SigLIP encodes → JAX OCR →
+  timeline/KB ingest) on a synthetic clip.  The tower number is the
+  ceiling; this is the pipeline.
+- ``decode_tok_s_8b`` — MEASURED single-stream decode at the full
+  Qwen3-VL-8B text geometry (36 layers, d=4096, GQA 32/8), weight-only
+  int8 (the bf16 model does not fit one v5e's 16 GB), S_max=4096 KV.
+  Random weights; geometry and compute are real.
+- ``decode_tok_s_8b_batch8`` — aggregate across 8 decode slots
+  (S_max=1024 to fit the batched KV), the continuous-batching regime.
+- ``ttft_ms_8b`` — 512-token prompt prefill + first sampled token at the
+  same 8B-int8 geometry.
 
 Timing methodology: the remote-TPU tunnel makes per-call host timing
 unreliable (dispatch returns in ~20 us, a host readback costs a ~30 ms
-round trip), so the model is chained K times inside one jitted lax.scan
-with a carry-data dependence (otherwise XLA hoists the loop-invariant
-forward out of the scan) and per-call time is the slope between two chain
-lengths.
+round trip), so compute is chained K times inside one jitted lax.scan
+with a carry-data dependence and per-call time is the slope between two
+chain lengths.
 """
 
 from __future__ import annotations
@@ -20,9 +32,13 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TARGET_FPS_PER_CHIP = 300.0  # BASELINE.md: >=300 fps/chip on v5e
+TARGET_DECODE_TOK_S = 30.0   # BASELINE.md: >=30 tok/s 8B decode
 BATCH = 8
+
+ON_TPU = jax.default_backend() == "tpu"
 
 
 def chain_seconds(apply_fn, params, x, reps: int, iters: int = 2) -> float:
@@ -44,36 +60,175 @@ def chain_seconds(apply_fn, params, x, reps: int, iters: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def main() -> None:
+# ------------------------------------------------------------------ tower
+
+def bench_siglip_tower() -> float:
     from gvl_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
 
     cfg = SigLIPVisionConfig.so400m()
     tower = SigLIPVisionTower(cfg)
     rng = jax.random.PRNGKey(0)
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    dtype = jnp.bfloat16 if ON_TPU else jnp.float32
 
     params = jax.jit(tower.init)(rng, jnp.ones((1, 384, 384, 3), dtype))
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     x = jax.random.normal(rng, (BATCH, 384, 384, 3), dtype)
 
     apply_fn = lambda p, xb: tower.apply(p, xb, pool=True)["pooled"]
-
-    if jax.default_backend() == "tpu":
-        lo, hi = 4, 24
-    else:  # keep the CPU fallback fast enough to emit a line
-        lo, hi = 1, 3
-
+    lo, hi = (4, 24) if ON_TPU else (1, 3)
     per_batch = (
         chain_seconds(apply_fn, params, x, hi)
         - chain_seconds(apply_fn, params, x, lo)
     ) / (hi - lo)
-    fps = BATCH / per_batch
+    return BATCH / per_batch
+
+
+# ------------------------------------------------- end-to-end perception
+
+def bench_perception_e2e(n_frames: int = 48) -> float:
+    """Frames/s through the REAL end-to-end perception stack (batched
+    chunks: one segmenter program per chunk, shared SigLIP/OCR buckets)."""
+    from gvl_tpu.config import load_preset
+    from gvl_tpu.fusion import KnowledgeBaseBuilder, TimelineIndexer
+    from gvl_tpu.io.video import SyntheticVideo
+    from gvl_tpu.perception import build_perception_stack, run_batched_perception
+
+    config = load_preset("light")
+    if ON_TPU:
+        config.perception.sam_backend = "jax"  # real models, random init
+        config.perception.siglip_backend = "jax"
+    else:  # CPU fallback must still emit a line quickly: fake encoders
+        config.perception.sam_backend = "fake"
+        config.perception.siglip_backend = "fake"
+        n_frames = min(n_frames, 16)
+    config.perception.sam3_fps = config.inference.fps  # segment every frame
+
+    video = SyntheticVideo("bench_clip", duration=n_frames / 2.0, fps=2.0,
+                           width=640, height=480)
+    frames = [(i / 2.0, video.frame(i)) for i in range(n_frames)]
+
+    stack = build_perception_stack(config)
+    # warm: compile segmenter/tower/OCR programs on a full-size chunk
+    run_batched_perception(frames[:8], config, TimelineIndexer(),
+                           KnowledgeBaseBuilder(), segmenter=stack[0],
+                           encoder=stack[1], ocr=stack[2])
+    timeline, kb = TimelineIndexer(), KnowledgeBaseBuilder()
+    t0 = time.perf_counter()
+    run_batched_perception(frames, config, timeline, kb,
+                           segmenter=stack[0], encoder=stack[1],
+                           ocr=stack[2])
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+# ------------------------------------------------------------ 8B decode
+
+def _build_8b_int8(max_cache_length: int):
+    from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+    cfg = Qwen3Config(quant_int8=True, scan_layers=True,
+                      max_cache_length=max_cache_length)
+    model = Qwen3Model(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)))
+
+    def fill(s):
+        if s.dtype == jnp.int8:
+            return jnp.ones(s.shape, jnp.int8)
+        if s.dtype == jnp.float32 and len(s.shape) >= 2:
+            return jnp.full(s.shape, 1e-3, jnp.bfloat16)
+        return jnp.full(s.shape, 0.01, s.dtype)
+
+    variables = jax.tree.map(fill, shapes)
+    jax.block_until_ready(variables)
+    return cfg, model, variables
+
+
+def _decode_per_step(model, cfg, variables, batch, reps_pair=(4, 16)):
+    from gvl_tpu.models.qwen3 import KVCache, sample_logits
+
+    cache = KVCache.zeros(cfg, batch=batch, dtype=jnp.bfloat16)
+    token = jnp.zeros((batch,), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    out_t = {}
+    for reps in reps_pair:
+        @jax.jit
+        def run(variables, token, cache, rng, reps=reps):
+            def body(carry, _):
+                token, cache, rng = carry
+                positions = (cache.length[None] if cache.length.ndim == 0
+                             else cache.length[:, None])
+                logits, cache = model.apply(
+                    variables, token[:, None], positions=positions,
+                    cache=cache)
+                rng, sub = jax.random.split(rng)
+                nxt = sample_logits(logits[:, -1], sub, 0.0, 1.0, 1)
+                return (nxt, cache, rng), ()
+
+            (token, cache, rng), _ = jax.lax.scan(
+                body, (token, cache, rng), None, length=reps)
+            return token
+
+        float(run(variables, token, cache, rng)[0])  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(variables, token, cache, rng)[0])
+            ts.append(time.perf_counter() - t0)
+        out_t[reps] = min(ts)
+    lo, hi = reps_pair
+    return (out_t[hi] - out_t[lo]) / (hi - lo)
+
+
+def bench_decode_8b() -> dict:
+    from gvl_tpu.models.qwen3 import KVCache, sample_logits
+
+    out = {}
+    cfg, model, variables = _build_8b_int8(4096)
+    per_tok = _decode_per_step(model, cfg, variables, batch=1)
+    out["decode_tok_s_8b"] = round(1.0 / per_tok, 1)
+
+    # TTFT: 512-token prefill + first sampled token, host-observed
+    tokens = jnp.zeros((1, 512), jnp.int32)
+    cache = KVCache.zeros(cfg, batch=1, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def prefill(variables, tokens, cache, rng):
+        positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)
+        logits, cache = model.apply(
+            variables, tokens, positions=positions, cache=cache)
+        return sample_logits(logits[:, -1], rng, 0.0, 1.0, 1)
+
+    rng = jax.random.PRNGKey(0)
+    float(prefill(variables, tokens, cache, rng)[0])
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(prefill(variables, tokens, cache, rng)[0])
+        ts.append(time.perf_counter() - t0)
+    out["ttft_ms_8b"] = round(sorted(ts)[len(ts) // 2] * 1e3, 1)
+
+    del variables
+    cfg8, model8, variables8 = _build_8b_int8(1024)
+    per_step = _decode_per_step(model8, cfg8, variables8, batch=8)
+    out["decode_tok_s_8b_batch8"] = round(8.0 / per_step, 1)
+    return out
+
+
+def main() -> None:
+    tower_fps = bench_siglip_tower()
+    extra = {"perception_e2e_fps": round(bench_perception_e2e(), 1)}
+    if ON_TPU:
+        extra.update(bench_decode_8b())
+        extra["decode_vs_target"] = round(
+            extra["decode_tok_s_8b"] / TARGET_DECODE_TOK_S, 2)
 
     print(json.dumps({
         "metric": "siglip_so400m_images_per_sec_per_chip",
-        "value": round(fps, 1),
+        "value": round(tower_fps, 1),
         "unit": f"img/s (384x384 bf16, batch {BATCH}, 1 chip)",
-        "vs_baseline": round(fps / TARGET_FPS_PER_CHIP, 3),
+        "vs_baseline": round(tower_fps / TARGET_FPS_PER_CHIP, 3),
+        "extra": extra,
     }))
 
 

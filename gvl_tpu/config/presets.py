@@ -84,12 +84,20 @@ class PerceptionConfig:
     sam_model: str = "gvl/sam3-tpu"
     sam_dtype: str = "float32"   # fp32 master weights, bf16 compute
     sam3_fps: float = 0.5        # segmenter runs at a lower rate than fps
+    # "auto": JAX model when sam_checkpoint exists, else deterministic
+    # fake; "jax": always the Flax segmenter (random-init if no
+    # checkpoint); "fake": always the hash-seeded stand-in
+    sam_backend: str = "auto"
+    sam_checkpoint: Optional[str] = "outputs/sam_params.npz"
 
     # region semantic encoder (SigLIP2-class)
     use_siglip: bool = True
     siglip_model: str = "google/siglip2-so400m-patch14-384"
     siglip_batch_size: int = 16
     siglip_dtype: str = "bfloat16"
+    # same ladder as sam_backend; checkpoint is an HF-layout directory
+    siglip_backend: str = "auto"
+    siglip_checkpoint: Optional[str] = None
 
     # temporal clip encoder (VideoMAE-class)
     use_videomae: bool = True

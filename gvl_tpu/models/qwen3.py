@@ -51,15 +51,22 @@ class Qwen3Config:
     tie_word_embeddings: bool = False
     max_cache_length: int = 8192
     scan_layers: bool = False  # nn.scan stack: 1-layer trace, [L,...] params
-    # length-clamped Pallas decode attention: 3.6x faster than the masked
-    # einsum in isolation, but hits a pathological slowdown through the
-    # remote-TPU tunnel when embedded in the full step — off by default
-    # until validated on directly-attached hardware
-    use_decode_kernel: bool = False
+    # length-clamped Pallas decode attention.  Measured IN-MODEL at the
+    # full 8B geometry (36L/4096d, int8 weights, v5e-1): 69.1 vs 52.0
+    # tok/s at S_max=4096 (1.33x) and 86.3 vs 80.9 at S_max=1024 — the
+    # round-1 "tie" was toy-scale fixed overhead.  Dispatch is keyed on
+    # the lowering platform, so CPU meshes take the einsum automatically.
+    use_decode_kernel: bool = True
     # speculative-decoding verification: multi-token chunks written at a
     # nonzero cache offset attend over the cached prefix + causal self
     # (default False = prefill semantics: causal over the chunk only)
     chunk_verify: bool = False
+    # weight-only int8 serving: projection + lm_head kernels stored int8
+    # with per-output-channel scales (dequant fuses into the matmul operand
+    # read, so decode HBM traffic halves and the full 8B geometry fits one
+    # v5e chip's 16 GB).  Inference-only — training stays bf16; quantize a
+    # trained checkpoint with :func:`quantize_int8`.
+    quant_int8: bool = False
     # LoRA (reference finetune config: r=32, alpha=64, 7 targets,
     # /root/reference/scripts/finetune_lora.py:35-51)
     lora_rank: int = 0
@@ -103,17 +110,54 @@ class KVCache(NamedTuple):
                    length=jnp.zeros((), jnp.int32))
 
 
+def _int8_kernel_init(key, shape, dtype=jnp.int8):
+    """Random int8 kernel (geometry benches / pre-quantized loads)."""
+    return jax.random.randint(key, shape, -127, 128, jnp.int32).astype(dtype)
+
+
+class Int8Dense(nn.Module):
+    """Weight-only int8 Dense: ``(x @ Q) * scale`` with per-output-channel
+    scales.  The int8→bf16 convert fuses into the dot's operand read, so
+    the kernel is streamed from HBM at 1 byte/param — the lever for
+    bandwidth-bound decode.  Exact algebra: ``x @ (Q * s) == (x @ Q) * s``
+    for a per-column ``s``.
+    """
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel_q = self.param(
+            "kernel_q", _int8_kernel_init, (x.shape[-1], self.features))
+        scale = self.param(
+            "scale", nn.initializers.constant(1.0 / 127.0),
+            (self.features,), jnp.float32)
+        out = x @ kernel_q.astype(x.dtype)
+        out = out * scale.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(x.dtype)
+        return out
+
+
 class LoRADense(nn.Module):
-    """Dense with optional low-rank delta: ``x W + scale * (x A) B``."""
+    """Dense with optional low-rank delta: ``x W + scale * (x A) B``.
+
+    ``quant`` stores the base kernel weight-only int8 (LoRA deltas, if
+    any, stay bf16 — they are rank-tiny)."""
 
     features: int
     rank: int = 0
     alpha: float = 64.0
     use_bias: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        out = nn.Dense(self.features, use_bias=self.use_bias, name="base")(x)
+        cls = Int8Dense if self.quant else nn.Dense
+        out = cls(self.features, use_bias=self.use_bias, name="base")(x)
         if self.rank > 0:
             a = self.param(
                 "lora_a", nn.initializers.normal(0.02), (x.shape[-1], self.rank)
@@ -133,7 +177,8 @@ class Qwen3Attention(nn.Module):
     def _dense(self, name: str, features: int) -> nn.Module:
         cfg = self.config
         rank = cfg.lora_rank if name in cfg.lora_targets else 0
-        return LoRADense(features, rank=rank, alpha=cfg.lora_alpha, name=name)
+        return LoRADense(features, rank=rank, alpha=cfg.lora_alpha,
+                         quant=cfg.quant_int8, name=name)
 
     @nn.compact
     def __call__(
@@ -259,7 +304,8 @@ class Qwen3Mlp(nn.Module):
 
         def dense(name, features):
             rank = cfg.lora_rank if name in cfg.lora_targets else 0
-            return LoRADense(features, rank=rank, alpha=cfg.lora_alpha, name=name)
+            return LoRADense(features, rank=rank, alpha=cfg.lora_alpha,
+                             quant=cfg.quant_int8, name=name)
 
         gate = dense("gate_proj", cfg.intermediate_size)(x)
         up = dense("up_proj", cfg.intermediate_size)(x)
@@ -326,7 +372,8 @@ class Qwen3Model(nn.Module):
             ]
         self.final_norm = RMSNorm(eps=cfg.rms_norm_eps)
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False)
+            head_cls = Int8Dense if cfg.quant_int8 else nn.Dense
+            self.lm_head = head_cls(cfg.vocab_size, use_bias=False)
 
     def __call__(
         self,
@@ -556,6 +603,42 @@ def merge_lora(params: dict, config: Qwen3Config) -> dict:
                 )
                 return {"base": merged}
             return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def quantize_int8(params: dict, config: Qwen3Config) -> dict:
+    """bf16/f32 checkpoint → weight-only int8 params for a model built
+    with ``config.quant_int8=True``.
+
+    Symmetric per-output-channel quantization of every projection base
+    kernel and the lm_head: ``scale = max|w| / 127`` along the input
+    axis (axis -2, so layer-stacked ``scan_layers`` kernels quantize
+    per-layer-per-column).  Merge LoRA first (:func:`merge_lora`) —
+    quantized bases are inference-only.
+    """
+    if config.lora_rank > 0:
+        params = merge_lora(params, config)
+
+    def quantize_kernel(w):
+        w = jnp.asarray(w, jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=-2)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(
+            jnp.round(w / scale[..., None, :]), -127, 127
+        ).astype(jnp.int8)
+        return q, scale
+
+    def walk(tree, name=""):
+        if isinstance(tree, dict):
+            if "kernel" in tree and name in ("base", "lm_head"):
+                q, scale = quantize_kernel(tree["kernel"])
+                new = {"kernel_q": q, "scale": scale}
+                new.update(
+                    {k: v for k, v in tree.items() if k != "kernel"})
+                return new
+            return {k: walk(v, k) for k, v in tree.items()}
         return tree
 
     return walk(params)

@@ -202,3 +202,23 @@ class PromptableSegmenter(nn.Module):
 
     def encode_image(self, pixels: jax.Array) -> jax.Array:
         return self.image_encoder(pixels)
+
+
+# --------------------------------------------------------------------------
+# Checkpoint I/O (same flat-npz layout as gvl_tpu.perception.ocr_model)
+# --------------------------------------------------------------------------
+
+def save_segmenter_npz(variables: dict, path) -> None:
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(variables).items()}
+    np.savez(path, **flat)
+
+
+def load_segmenter_npz(path) -> dict:
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as data:
+        flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data}
+    return unflatten_dict(flat)

@@ -24,6 +24,12 @@ from gvl_tpu.perception.semantic import (
     SigLIPSemanticEncoder,
     create_siglip_encoder,
 )
+from gvl_tpu.perception.batch import (
+    build_perception_stack,
+    build_segmenter,
+    build_siglip_encoder,
+    run_batched_perception,
+)
 
 __all__ = [
     "EntityState",
@@ -43,4 +49,8 @@ __all__ = [
     "SemanticEmbedding",
     "SigLIPSemanticEncoder",
     "create_siglip_encoder",
+    "build_perception_stack",
+    "build_segmenter",
+    "build_siglip_encoder",
+    "run_batched_perception",
 ]

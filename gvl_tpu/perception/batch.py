@@ -1,0 +1,173 @@
+"""Throughput-oriented batched perception.
+
+The reference loops Python per frame per encoder
+(`/root/reference/scripts/realtime_inference.py:165-522` — one SAM3
+forward PER (frame × concept), one SigLIP forward per region).  On TPU
+the equivalent sin is one small device dispatch per frame: dispatch
+latency (tens of µs direct-attached, ~30 ms over a remote tunnel) swamps
+the compute.  This module processes a clip in CHUNKS with a fixed, small
+number of dispatches per chunk:
+
+- segmentation: ONE [frames × concepts] program per chunk
+  (:meth:`SAMConceptSegmenter.segment_batch`),
+- region semantics: all regions of the chunk flattened into shared
+  bucket-padded SigLIP batches
+  (:meth:`SigLIPSemanticEncoder.encode_regions_multi`),
+- OCR: ONE stacked detector call + shared recognizer buckets
+  (:meth:`OCRPipeline.extract_batch`),
+
+then feeds the timeline / knowledge base exactly like the sequential
+path.  Use the stage-parallel :mod:`gvl_tpu.parallel.pipeline` when
+latency-to-first-frame matters; use this when throughput does.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CONCEPTS = ["player", "enemy", "boss", "item"]
+
+
+def run_batched_perception(
+    frames: Sequence[tuple[float, np.ndarray]],
+    config,
+    timeline,
+    kb,
+    concepts: Sequence[str] = DEFAULT_CONCEPTS,
+    chunk: int = 8,
+    segmenter=None,
+    encoder=None,
+    ocr=None,
+) -> list[tuple[float, np.ndarray]]:
+    """Full visual perception over ``frames`` → per-timestamp SigLIP
+    embeddings; timeline/KB are fed in place.
+
+    ``frames`` is ``[(timestamp, HxWx3 uint8)]``.  ``config`` is a
+    :class:`~gvl_tpu.config.presets.SystemConfig`.  Pass pre-built
+    ``segmenter`` / ``encoder`` / ``ocr`` to reuse compiled programs
+    across clips (otherwise they are constructed from the config).
+    """
+    from gvl_tpu.fusion import EventPriority, ModalityType
+
+    if segmenter is None or encoder is None or ocr is None:
+        built = build_perception_stack(config)
+        segmenter = segmenter or built[0]
+        encoder = encoder or built[1]
+        ocr = ocr or built[2]
+
+    p = config.perception
+    sam_step = max(1, int(round(
+        config.inference.fps / max(p.sam3_fps, 1e-6))))
+
+    out: list[tuple[float, np.ndarray]] = []
+    for start in range(0, len(frames), chunk):
+        group = frames[start:start + chunk]
+        indices = list(range(start, start + len(group)))
+        stamps = [ts for ts, _ in group]
+        images = [f for _, f in group]
+
+        # ---- segmentation + tracking: one frames×concepts program
+        per_frame_entities: list[list] = [[] for _ in group]
+        if p.use_sam:
+            sampled = [(pos, idx) for pos, idx in enumerate(indices)
+                       if idx % sam_step == 0]
+            if sampled:
+                batch_entities = segmenter.segment_batch(
+                    [images[pos] for pos, _ in sampled],
+                    [idx for _, idx in sampled], list(concepts))
+                for (pos, idx), entities in zip(sampled, batch_entities):
+                    per_frame_entities[pos] = entities
+                    timeline.add_from_sam_entities(
+                        entities, idx, stamps[pos])
+                    kb.update_from_tracking(entities, idx, stamps[pos])
+
+        # ---- region semantics: every region of the chunk, one batch set
+        if p.use_siglip:
+            frame_masks = []
+            for pos, idx in enumerate(indices):
+                masks = []
+                for entity in per_frame_entities[pos]:
+                    m = entity.get_mask_at_frame(idx)
+                    if m is not None:
+                        masks.append((entity.entity_id, m.mask))
+                frame_masks.append((images[pos], masks))
+            region_embs = encoder.encode_regions_multi(frame_masks)
+            # whole-frame fallback for frames with no regions, batched too
+            bare = [pos for pos, embs in enumerate(region_embs)
+                    if not embs]
+            bare_embs = encoder.encode_images_batch(
+                [images[pos] for pos in bare])
+            for pos, embs in enumerate(region_embs):
+                for emb in embs:
+                    out.append((stamps[pos], emb.embedding))
+            for j, pos in enumerate(bare):
+                out.append((stamps[pos], bare_embs[j]))
+
+        # ---- OCR: one detector dispatch + shared recognizer buckets
+        if p.use_ocr:
+            for result in ocr.extract_batch(images, indices, stamps):
+                for det in result.detections:
+                    if det.confidence < 0.7 or len(det.text) < 3:
+                        continue
+                    important = det.category in ("damage", "health")
+                    timeline.add_event(
+                        result.timestamp, ModalityType.OCR, det.text,
+                        priority=(EventPriority.MEDIUM if important
+                                  else EventPriority.LOW),
+                        confidence=det.confidence,
+                        metadata={"category": det.category,
+                                  "bbox": det.bbox},
+                    )
+    out.sort(key=lambda pair: pair[0])
+    return out
+
+
+def build_segmenter(config):
+    """Segmenter from the preset ladder: trained JAX model when the
+    checkpoint exists ("auto"), forced JAX ("jax", random-init without a
+    checkpoint), or the deterministic fake ("fake")."""
+    from pathlib import Path
+
+    from gvl_tpu.perception import (
+        SAMConceptSegmenter,
+        SAMConfig,
+        create_sam_segmenter,
+    )
+
+    p = config.perception
+    backend = getattr(p, "sam_backend", "auto")
+    ckpt = getattr(p, "sam_checkpoint", None)
+    ckpt = ckpt if (ckpt and Path(ckpt).exists()) else None
+    if backend == "jax" or (backend == "auto" and ckpt):
+        return create_sam_segmenter(
+            SAMConfig(), use_model=True, checkpoint=ckpt)
+    return SAMConceptSegmenter(SAMConfig())
+
+
+def build_siglip_encoder(config):
+    """Semantic encoder from the preset ladder (checkpoint = HF dir)."""
+    from pathlib import Path
+
+    from gvl_tpu.perception import SigLIPSemanticEncoder
+
+    p = config.perception
+    backend = getattr(p, "siglip_backend", "auto")
+    ckpt = getattr(p, "siglip_checkpoint", None)
+    if ckpt and Path(ckpt).exists():
+        return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt)
+    if backend == "jax":
+        return SigLIPSemanticEncoder.with_random_tower()
+    return SigLIPSemanticEncoder()
+
+
+def build_perception_stack(config):
+    """(segmenter, encoder, ocr) honoring the preset's backend ladders."""
+    from gvl_tpu.perception import create_ocr_pipeline
+
+    return (build_segmenter(config), build_siglip_encoder(config),
+            create_ocr_pipeline(config.perception.ocr_backend))

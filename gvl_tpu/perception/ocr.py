@@ -264,15 +264,49 @@ class OCRPipeline:
             crops.append((frame[y1:y2, x1:x2], (float(x1), float(y1))))
         return crops
 
+    def extract_batch(
+        self, frames: list[np.ndarray], frame_indices: list[int],
+        timestamps: list[float],
+    ) -> list[OCRFrame]:
+        """Many frames, few device dispatches (engines exposing
+        ``.batch``, e.g. the JAX det/rec engine); per-frame fallback
+        otherwise.  ROI cropping multiplies the batch, not the calls."""
+        if not hasattr(self.engine, "batch"):
+            return [self.extract_text_from_frame(f, i, t)
+                    for f, i, t in zip(frames, frame_indices, timestamps)]
+        t0 = time.perf_counter()
+        crops, offsets, owners = [], [], []
+        for fi, frame in enumerate(frames):
+            for crop, origin in self._crop_rois(frame):
+                crops.append(crop)
+                offsets.append(origin)
+                owners.append(fi)
+        raw = self.engine.batch(crops) if crops else []
+        per_frame: list[list[TextDetection]] = [[] for _ in frames]
+        for dets, (ox, oy), fi in zip(raw, offsets, owners):
+            for text, conf, bbox in dets:
+                if conf < self.config.min_confidence:
+                    continue
+                shifted = (bbox[0] + ox, bbox[1] + oy,
+                           bbox[2] + ox, bbox[3] + oy)
+                per_frame[fi].append(TextDetection(
+                    text=text, confidence=conf, bbox=shifted,
+                    category=self.categorizer.categorize(text, shifted),
+                ))
+        ms = (time.perf_counter() - t0) * 1e3 / max(len(frames), 1)
+        return [
+            OCRFrame(frame_idx=i, timestamp=t, detections=d,
+                     processing_time_ms=ms)
+            for i, t, d in zip(frame_indices, timestamps, per_frame)
+        ]
+
     def extract_from_video_frames(
         self, frames: list[np.ndarray], fps: float, skip_frames: int = 1
     ) -> list[OCRFrame]:
-        results = []
-        for i, frame in enumerate(frames):
-            if i % skip_frames:
-                continue
-            results.append(self.extract_text_from_frame(frame, i, i / fps))
-        return results
+        kept = [(i, f) for i, f in enumerate(frames) if not i % skip_frames]
+        return self.extract_batch(
+            [f for _, f in kept], [i for i, _ in kept],
+            [i / fps for i, _ in kept])
 
     # ------------------------------------------------------------- analysis
 

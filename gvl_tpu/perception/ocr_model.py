@@ -234,18 +234,66 @@ class JaxOCREngine:
         self._rec = jax.jit(lambda p, x: self.recognizer.apply(p, x))
 
     def __call__(self, frame: np.ndarray) -> list[tuple[str, float, tuple]]:
+        return self.batch([frame])[0]
+
+    def batch(
+        self, frames: list[np.ndarray]
+    ) -> list[list[tuple[str, float, tuple]]]:
+        """Many frames, few dispatches: ONE detector call on the stacked
+        (bucket-padded) batch, then every crop across all frames through
+        the recognizer in shared buckets."""
         cfg = self.config
-        gray = _to_gray(np.asarray(frame))
+        grays = [_to_gray(np.asarray(f)) for f in frames]
+        canvases = np.stack([
+            _nn_resize(g, cfg.det_height, cfg.det_width) for g in grays
+        ])[..., None]
+        n = len(frames)
+        bucket_n = next((b for b in (1, 2, 4, 8, 16, 32) if n <= b), n)
+        if bucket_n > n:
+            canvases = np.concatenate(
+                [canvases, np.zeros_like(canvases[:1]).repeat(
+                    bucket_n - n, axis=0)])
+        probs = np.asarray(self._det(self.params["detector"], canvases))[:n]
+
+        all_crops: list[np.ndarray] = []
+        all_boxes: list[tuple] = []
+        owners: list[int] = []
+        for fi, (gray, prob) in enumerate(zip(grays, probs)):
+            crops, boxes = self._extract_crops(gray, prob)
+            all_crops.extend(crops)
+            all_boxes.extend(boxes)
+            owners.extend([fi] * len(crops))
+
+        results: list[list[tuple[str, float, tuple]]] = [[] for _ in frames]
+        if not all_crops:
+            return results
+        step = cfg.crop_buckets[-1]
+        for i in range(0, len(all_crops), step):
+            chunk = all_crops[i:i + step]
+            m = len(chunk)
+            bucket = next((b for b in cfg.crop_buckets if m <= b),
+                          cfg.crop_buckets[-1])
+            batch = np.zeros(
+                (bucket, cfg.rec_height, cfg.rec_width, 1), np.float32)
+            batch[:m, :, :, 0] = np.stack(chunk)
+            logits = np.asarray(self._rec(self.params["recognizer"], batch))
+            for j in range(m):
+                text, conf = ctc_greedy_decode(logits[j], cfg)
+                if text:
+                    results[owners[i + j]].append(
+                        (text, conf, all_boxes[i + j]))
+        return results
+
+    def _extract_crops(self, gray: np.ndarray, prob: np.ndarray):
+        """Host-side: prob map → expanded, ink-tightened recognizer crops."""
+        cfg = self.config
         h0, w0 = gray.shape
-        canvas = _nn_resize(gray, cfg.det_height, cfg.det_width)
-        prob = np.asarray(self._det(
-            self.params["detector"], canvas[None, :, :, None]))[0]
         mask = prob > cfg.det_threshold
         boxes = [b for b in connected_components(mask)
                  if (b[2] - b[0] + 1) * (b[3] - b[1] + 1)
                  >= cfg.min_box_area]
         if not boxes:
-            return []
+            return [], []
         # map prob-map boxes back to original frame coordinates; expand
         # to recover glyph edges eroded by the conv receptive field
         mh, mw = mask.shape
@@ -276,22 +324,10 @@ class JaxOCREngine:
             crops.append(crop_to_input(crop, cfg))
             out_boxes.append((float(fx1), float(fy1),
                               float(fx2), float(fy2)))
-        if not crops:
-            return []
-        bucket = next((b for b in cfg.crop_buckets if len(crops) <= b),
-                      cfg.crop_buckets[-1])
-        crops = crops[:bucket]
-        out_boxes = out_boxes[:bucket]
-        batch = np.zeros(
-            (bucket, cfg.rec_height, cfg.rec_width, 1), np.float32)
-        batch[:len(crops), :, :, 0] = np.stack(crops)
-        logits = np.asarray(self._rec(self.params["recognizer"], batch))
-        results = []
-        for i, bbox in enumerate(out_boxes):
-            text, conf = ctc_greedy_decode(logits[i], cfg)
-            if text:
-                results.append((text, conf, bbox))
-        return results
+        # cap per frame at the largest recognizer bucket (same limit the
+        # single-frame path always had)
+        cap = cfg.crop_buckets[-1]
+        return crops[:cap], out_boxes[:cap]
 
 
 def init_ocr_params(config: OCRModelConfig, rng: jax.Array) -> dict:

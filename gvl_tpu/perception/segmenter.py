@@ -211,9 +211,21 @@ class JaxSegmenterBackend:
             )
         self.variables = variables
         self._hash_tokenize = hash_tokenize
-        self._run = jax.jit(
-            lambda v, px, tok: self.model.apply(v, px, tok)
-        )
+
+        import jax.numpy as jnp
+
+        threshold = float(config.mask_threshold)
+
+        def run(v, px, tok):
+            # uint8 in, normalize on device: 1 byte/pixel over the host
+            # link instead of 4
+            out = self.model.apply(v, px.astype(jnp.float32) / 255.0, tok)
+            # threshold on device: bool masks read back at 1 byte/cell
+            # instead of 4 (the logits are never needed on host)
+            return {"mask": out["mask_logits"] > threshold,
+                    "scores": out["scores"]}
+
+        self._run = jax.jit(run)
 
     def __call__(self, frames, concepts, frame_indices):
         import jax.numpy as jnp
@@ -223,13 +235,13 @@ class JaxSegmenterBackend:
         resized = np.stack([
             np.asarray(Image.fromarray(f).resize((size, size), Image.BILINEAR))
             for f in frames
-        ]).astype(np.float32) / 255.0
+        ]).astype(np.uint8)
         tokens = np.stack([
             self._hash_tokenize(c, self.model_config.text_vocab)
             for c in concepts
         ])
         out = self._run(self.variables, jnp.asarray(resized), jnp.asarray(tokens))
-        logits = np.asarray(out["mask_logits"], np.float32)
+        small_masks = np.asarray(out["mask"], bool)
         scores = np.asarray(out["scores"], np.float32)
 
         results = []
@@ -238,10 +250,10 @@ class JaxSegmenterBackend:
             per_frame = []
             for ci in range(len(concepts)):
                 dets = []
-                for qi in range(logits.shape[2]):
+                for qi in range(small_masks.shape[2]):
                     if scores[fi, ci, qi] < self.config.detection_threshold:
                         continue
-                    small = logits[fi, ci, qi] > self.config.mask_threshold
+                    small = small_masks[fi, ci, qi]
                     mask = np.asarray(Image.fromarray(
                         small.astype(np.uint8) * 255
                     ).resize((w, h), Image.NEAREST)) > 127
@@ -411,8 +423,21 @@ class SAMConceptSegmenter:
 def create_sam_segmenter(
     config: Optional[SAMConfig] = None,
     use_model: bool = False,
+    checkpoint: Optional[str] = None,
 ) -> SAMConceptSegmenter:
-    """Factory: JAX model backend when requested, deterministic fake else."""
+    """Factory: JAX model backend when requested, deterministic fake else.
+
+    ``checkpoint`` loads trained :class:`~gvl_tpu.models.sam.
+    PromptableSegmenter` params from an ``.npz`` (flat ``/``-joined keys,
+    the same layout :mod:`gvl_tpu.perception.ocr_model` uses).
+    """
     config = config or SAMConfig()
-    backend = JaxSegmenterBackend(config) if use_model else None
+    backend = None
+    if use_model or checkpoint:
+        variables = None
+        if checkpoint:
+            from gvl_tpu.models.sam import load_segmenter_npz
+
+            variables = load_segmenter_npz(checkpoint)
+        backend = JaxSegmenterBackend(config, variables=variables)
     return SAMConceptSegmenter(config, backend=backend)

@@ -139,14 +139,17 @@ class RegionExtractor:
     def prepare(
         self, region: np.ndarray, canvas_size: int | None = None
     ) -> tuple[np.ndarray, float]:
-        """Region → normalized float32 [canvas, canvas, 3] + aspect."""
+        """Region → uint8 [canvas, canvas, 3] + aspect.
+
+        Pixels stay uint8 here; backends normalize ON DEVICE — the
+        host→HBM transfer is 1 byte/pixel instead of 4, which is the
+        binding cost for remote-attached chips and still free bandwidth
+        on direct-attached ones.
+        """
         canvas, aspect = self.resizer.resize_to_canvas(
             region, canvas_size or self.config.base_resolution
         )
-        x = canvas.astype(np.float32) / 255.0
-        mean = np.asarray(self.config.image_mean, np.float32)
-        std = np.asarray(self.config.image_std, np.float32)
-        return (x - mean) / std, aspect
+        return canvas.astype(np.uint8), aspect
 
 
 @dataclass
@@ -187,28 +190,54 @@ class DeterministicFakeBackend:
 
 
 class JaxSigLIPBackend:
-    """The real encoder: jitted SigLIP tower over static-shape batches."""
+    """The real encoder: jitted SigLIP tower over static-shape batches.
 
-    def __init__(self, tower, variables, dtype: str = "bfloat16"):
+    Accepts uint8 pixel batches and normalizes ON DEVICE (mean/std from
+    the NaFlex config), so the host→HBM transfer is 1 byte/pixel.
+    Pre-normalized float batches still work (the normalize is skipped)."""
+
+    def __init__(self, tower, variables, dtype: str = "bfloat16",
+                 image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
+                 pool_strategy: str = "mean"):
         import jax
         import jax.numpy as jnp
 
         self.tower = tower
         self.variables = variables
         self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        mean = jnp.asarray(image_mean, jnp.float32)
+        std = jnp.asarray(image_std, jnp.float32)
+        dt = self._dtype
 
         @jax.jit
         def run(variables, pixels):
+            if pixels.dtype == jnp.uint8:
+                pixels = ((pixels.astype(jnp.float32) / 255.0 - mean)
+                          / std).astype(dt)
             out = tower.apply(variables, pixels, pool=True)
-            return out["last_hidden_state"], out["pooled"]
+            # pool ON DEVICE: the full hidden sequence is ~260x the size
+            # of the embedding — reading it back to pool on host would
+            # dominate remote-attached latency
+            seq = out["last_hidden_state"]
+            if pool_strategy == "mean":
+                pooled = seq.mean(axis=1)
+            elif pool_strategy == "max":
+                pooled = seq.max(axis=1)
+            else:  # 'cls' → MAP-head pooled output
+                pooled = out["pooled"]
+            return pooled.astype(jnp.float32)
 
         self._run = run
 
-    def __call__(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def __call__(self, batch: np.ndarray) -> tuple[None, np.ndarray]:
+        """Returns (None, pooled): pooling already happened on device."""
         import jax.numpy as jnp
 
-        seq, pooled = self._run(self.variables, jnp.asarray(batch, self._dtype))
-        return np.asarray(seq, np.float32), np.asarray(pooled, np.float32)
+        batch = np.asarray(batch)
+        if batch.dtype != np.uint8:
+            batch = batch.astype(self._dtype)
+        pooled = self._run(self.variables, jnp.asarray(batch))
+        return None, np.asarray(pooled, np.float32)
 
 
 class SigLIPSemanticEncoder:
@@ -237,11 +266,39 @@ class SigLIPSemanticEncoder:
 
         config = config or NaFlexConfig()
         tower, variables = load_hf_siglip(path)
-        return cls(config, backend=JaxSigLIPBackend(tower, variables, config.dtype))
+        return cls(config, backend=JaxSigLIPBackend(
+            tower, variables, config.dtype,
+            image_mean=config.image_mean, image_std=config.image_std,
+            pool_strategy=config.pool_strategy))
+
+    @classmethod
+    def with_random_tower(cls, config: Optional[NaFlexConfig] = None):
+        """Real so400m tower, random init — the full TPU compute path
+        without weights (perf benches, smoke tests; embeddings are
+        meaningless)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gvl_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
+
+        config = config or NaFlexConfig()
+        tower = SigLIPVisionTower(SigLIPVisionConfig.so400m())
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        params = jax.jit(tower.init)(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, config.base_resolution, config.base_resolution, 3),
+                     dtype))
+        params = jax.tree.map(lambda a: a.astype(dtype), params)
+        return cls(config, backend=JaxSigLIPBackend(
+            tower, params, config.dtype,
+            image_mean=config.image_mean, image_std=config.image_std,
+            pool_strategy=config.pool_strategy))
 
     # ------------------------------------------------------------ encoding
 
-    def _pool(self, sequence: np.ndarray, pooled: np.ndarray) -> np.ndarray:
+    def _pool(self, sequence, pooled: np.ndarray) -> np.ndarray:
+        if sequence is None:   # backend pooled on device already
+            return pooled
         strategy = self.config.pool_strategy
         if strategy == "mean":
             return sequence.mean(axis=1)
@@ -281,6 +338,12 @@ class SigLIPSemanticEncoder:
                 {"entity_id": entity_id, "bbox": bbox, "aspect_ratio": aspect}
             )
 
+        return self._encode_prepared(prepared, metadata)
+
+    def _encode_prepared(
+        self, prepared: list[np.ndarray], metadata: list[dict]
+    ) -> list[SemanticEmbedding]:
+        """Bucket-padded batches of already-prepared region tensors."""
         out: list[SemanticEmbedding] = []
         step = self.config.batch_size
         for i in range(0, len(prepared), step):
@@ -305,6 +368,55 @@ class SigLIPSemanticEncoder:
                     )
                 )
         return out
+
+    def encode_regions_multi(
+        self,
+        frame_masks: Sequence[tuple[np.ndarray, Sequence[tuple[str, np.ndarray]]]],
+    ) -> list[list[SemanticEmbedding]]:
+        """Encode regions from MANY frames in shared bucketed batches.
+
+        Per-frame calls cost one device dispatch per frame — ruinous over
+        a remote tunnel and wasteful everywhere.  This flattens every
+        (frame, mask) region across the clip into the same bucket-padded
+        batches, so a chunk of frames costs ceil(total_regions /
+        batch_size) dispatches total.  Returns one embedding list per
+        input frame, order-preserved.
+        """
+        prepared, metadata, owners = [], [], []
+        for fi, (frame, masks) in enumerate(frame_masks):
+            frame = np.asarray(frame)
+            for entity_id, mask in masks:
+                region, bbox = self.region_extractor.extract_masked_region(
+                    frame, mask)
+                tensor, aspect = self.region_extractor.prepare(
+                    region, self.config.region_resolution)
+                prepared.append(tensor)
+                metadata.append({"entity_id": entity_id, "bbox": bbox,
+                                 "aspect_ratio": aspect})
+                owners.append(fi)
+        flat = self._encode_prepared(prepared, metadata)
+        out: list[list[SemanticEmbedding]] = [[] for _ in frame_masks]
+        for emb, fi in zip(flat, owners):
+            out[fi].append(emb)
+        return out
+
+    def encode_images_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Whole-frame embeddings for a batch of frames, bucket-padded
+        (one dispatch per bucket instead of per frame)."""
+        if not len(images):
+            return np.zeros((0, self.config.embedding_dim), np.float32)
+        prepared = [self.region_extractor.prepare(np.asarray(img))[0]
+                    for img in images]
+        out, step = [], self.config.batch_size
+        for i in range(0, len(prepared), step):
+            chunk = prepared[i:i + step]
+            n = len(chunk)
+            padded_n = self._bucket_pad(n)
+            batch = np.stack(
+                chunk + [np.zeros_like(chunk[0])] * (padded_n - n))
+            seq, pooled = self.backend(batch)
+            out.append(self._pool(seq, pooled)[:n])
+        return np.concatenate(out, axis=0)
 
     def encode_with_context(
         self,

@@ -75,12 +75,26 @@ class ProcessedVideo:
     timings: dict = field(default_factory=dict)
 
 
+def _make_segmenter(config: SystemConfig) -> SAMConceptSegmenter:
+    """Preset backend ladder (see gvl_tpu.perception.batch)."""
+    from gvl_tpu.perception.batch import build_segmenter
+
+    return build_segmenter(config)
+
+
+def _make_siglip_encoder(config: SystemConfig) -> SigLIPSemanticEncoder:
+    """Preset backend ladder (checkpoint = HF directory)."""
+    from gvl_tpu.perception.batch import build_siglip_encoder
+
+    return build_siglip_encoder(config)
+
+
 def run_sam_detection(frames, config: SystemConfig, timeline, kb,
                       concepts=DEFAULT_CONCEPTS):
     """Segment+track at the (lower) segmenter rate; feed timeline + KB."""
     sam_step = max(1, int(round(config.inference.fps
                                 / max(config.perception.sam3_fps, 1e-6))))
-    segmenter = SAMConceptSegmenter(SAMConfig())
+    segmenter = _make_segmenter(config)
     sampled = [(i, ts, frame) for i, (ts, frame) in enumerate(frames)
                if i % sam_step == 0]
     if not sampled:
@@ -96,7 +110,7 @@ def run_sam_detection(frames, config: SystemConfig, timeline, kb,
 
 def extract_siglip_embeddings(frames, segmenter, config: SystemConfig):
     """Per-frame region (or whole-frame) semantic embeddings."""
-    encoder = SigLIPSemanticEncoder()
+    encoder = _make_siglip_encoder(config)
     out = []
     for idx, (ts, frame) in enumerate(frames):
         masks = []
@@ -202,8 +216,8 @@ def run_pipelined_perception(
     """
     from gvl_tpu.parallel.pipeline import PerceptionPipeline, PipelineStage
 
-    segmenter = SAMConceptSegmenter(SAMConfig())
-    encoder = SigLIPSemanticEncoder()
+    segmenter = _make_segmenter(config)
+    encoder = _make_siglip_encoder(config)
     ocr = create_ocr_pipeline(
         config.perception.ocr_backend
     )
@@ -304,7 +318,7 @@ def process_video(
                     segmenter = run_sam_detection(frames, config, timeline,
                                                   kb, concepts)
             else:
-                segmenter = SAMConceptSegmenter(SAMConfig())
+                segmenter = _make_segmenter(config)
 
             if config.perception.use_siglip:
                 with timer.stage("siglip_embeddings"):

@@ -294,3 +294,103 @@ class TestShardedDecode:
         out = engine.generate([7, 3, 99, 12], max_new_tokens=6,
                               temperature=0.0)
         assert out == expected
+
+
+class TestInt8Quantization:
+    """Weight-only int8 serving path (quant_int8=True)."""
+
+    def test_quantize_roundtrip_error_bounded(self, hf_pair):
+        from gvl_tpu.models.qwen3 import quantize_int8
+
+        _, cfg, variables = hf_pair
+        qparams = quantize_int8(variables["params"], cfg)
+
+        def paired(qt, t):
+            if isinstance(qt, dict):
+                if "kernel_q" in qt:
+                    yield qt, t
+                else:
+                    for k in qt:
+                        yield from paired(qt[k], t[k])
+
+        pairs = list(paired(qparams, variables["params"]))
+        assert pairs, "no quantized nodes found"
+        for qnode, onode in pairs:
+            assert qnode["kernel_q"].dtype == jnp.int8
+            w = np.asarray(onode["kernel"], np.float32)
+            deq = (np.asarray(qnode["kernel_q"], np.float32)
+                   * np.asarray(qnode["scale"]))
+            # dequantized weight within half a quantization step everywhere
+            err = np.abs(w - deq)
+            step = np.asarray(qnode["scale"]) * 0.5 + 1e-9
+            assert (err <= step + 1e-6).all()
+
+    def test_quantized_logits_close_to_bf16(self, hf_pair):
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import quantize_int8
+
+        _, cfg, variables = hf_pair
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+        qparams = quantize_int8(variables["params"], cfg)
+        tokens = jnp.asarray(
+            np.random.RandomState(0).randint(0, cfg.vocab_size, (1, 16)))
+        ref, _ = Qwen3Model(cfg).apply(variables, tokens)
+        out, _ = Qwen3Model(cfg_q).apply({"params": qparams}, tokens)
+        ref, out = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+        # per-position cosine similarity of the logit vectors
+        cos = (ref * out).sum(-1) / (
+            np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+        assert cos.min() > 0.999
+        # greedy next-token choice preserved at most positions
+        agree = (ref.argmax(-1) == out.argmax(-1)).mean()
+        assert agree >= 0.9
+
+    def test_quantized_engine_decodes(self, hf_pair):
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import quantize_int8
+
+        _, cfg, variables = hf_pair
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+        qparams = {"params": quantize_int8(variables["params"], cfg)}
+        engine = Qwen3Engine(cfg_q, qparams, eos_token_id=-1,
+                             dtype=jnp.float32)
+        out = engine.generate([7, 3, 99], max_new_tokens=6, temperature=0.0)
+        assert len(out) == 6
+        assert all(0 <= t < cfg.vocab_size for t in out)
+
+    def test_param_bytes_halve(self, hf_pair):
+        from gvl_tpu.models.qwen3 import quantize_int8
+
+        _, cfg, variables = hf_pair
+        def nbytes(tree, dtype_size=None):
+            return sum(
+                leaf.size * (dtype_size or leaf.dtype.itemsize)
+                for leaf in jax.tree_util.tree_leaves(tree))
+
+        # compare at the serving dtype: bf16 baseline vs int8 kernels
+        bf16 = sum(l.size * 2 for l in
+                   jax.tree_util.tree_leaves(variables["params"]))
+        q = sum(l.size * l.dtype.itemsize for l in
+                jax.tree_util.tree_leaves(
+                    quantize_int8(variables["params"], cfg)))
+        # embed stays bf16-sized (f32 here) so the win is partial at tiny
+        # scale; at 8B geometry kernels dominate.  Still must shrink.
+        assert q < bf16 * 1.05
+
+    def test_quantize_merges_lora_first(self, hf_pair):
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import quantize_int8
+
+        _, cfg, variables = hf_pair
+        cfg_l = dataclasses.replace(cfg, lora_rank=4)
+        model = Qwen3Model(cfg_l)
+        params_l = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))["params"]
+        qparams = quantize_int8(params_l, cfg_l)
+        flat = jax.tree_util.tree_leaves_with_path(qparams)
+        names = {getattr(k, "key", "") for path, _ in flat for k in path}
+        assert "lora_a" not in names and "lora_b" not in names
+        assert "kernel_q" in names
