@@ -94,8 +94,9 @@ def bench_perception_e2e(n_frames: int = 48) -> float:
     from gvl_tpu.perception import build_perception_stack, run_batched_perception
 
     config = load_preset("light")
+    config.perception.use_sam = True   # measure the FULL visual stack
     if ON_TPU:
-        config.perception.sam_backend = "jax"  # real models, random init
+        config.perception.sam_backend = "jax"  # trained ckpt if present
         config.perception.siglip_backend = "jax"
     else:  # CPU fallback must still emit a line quickly: fake encoders
         config.perception.sam_backend = "fake"

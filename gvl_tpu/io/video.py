@@ -170,7 +170,48 @@ class SyntheticVideo:
     def num_frames(self) -> int:
         return int(self.duration * self.fps)
 
+    # concept → (shape, RGB) signatures matching the trained segmenter's
+    # synthetic domain (gvl_tpu.training.segmenter_train.CONCEPT_SPECS)
+    _CONCEPT_SPECS = {
+        "player": ("square", (60, 90, 220)),
+        "enemy": ("triangle", (220, 60, 50)),
+        "boss": ("ellipse", (160, 60, 200)),
+        "item": ("diamond", (230, 200, 50)),
+    }
+
+    def _concept_frame(self, index: int) -> np.ndarray:
+        """`concept_demo` scene: entities drawn with the signatures the
+        shipped segmenter checkpoint was trained on, so text prompts
+        ("enemy", "boss", …) ground to real masks end-to-end."""
+        h, w = self.height, self.width
+        img = self._bg.copy()
+        t = index / max(self.fps, 1e-6)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for e, (name, (kind, color)) in enumerate(
+                self._CONCEPT_SPECS.items()):
+            phase = t * (0.3 + 0.15 * e) + e * 1.7
+            cx = int((0.5 + 0.33 * np.sin(phase)) * w)
+            cy = int((0.5 + 0.28 * np.cos(phase * 0.8)) * h)
+            r = (16, 14, 30, 10)[e]
+            if kind == "square":
+                hit = (np.abs(xx - cx) <= r) & (np.abs(yy - cy) <= r)
+            elif kind == "triangle":
+                hit = ((yy >= cy - r) & (yy <= cy + r)
+                       & (np.abs(xx - cx) <= (yy - (cy - r)) / 2))
+            elif kind == "ellipse":
+                hit = (((xx - cx) / r) ** 2
+                       + ((yy - cy) / (r * 0.7)) ** 2) <= 1.0
+            else:
+                hit = (np.abs(xx - cx) + np.abs(yy - cy)) <= r
+            img[hit] = color
+        hp = max(0.05, 1.0 - t / max(self.duration, 1e-6))
+        img[8:16, 8: 8 + int(100 * hp)] = (200, 40, 40)
+        img[8:16, 8 + int(100 * hp): 108] = (60, 60, 60)
+        return img
+
     def frame(self, index: int) -> np.ndarray:
+        if self.scene == "concept_demo":
+            return self._concept_frame(index)
         h, w = self.height, self.width
         img = self._bg.copy()
         t = index / max(self.fps, 1e-6)

@@ -184,33 +184,35 @@ class ProjectorBank:
                 continue
             self.params[name] = {
                 "fc_in": {
-                    "kernel": jnp.asarray(sd["net.0.weight"].numpy().T),
-                    "bias": jnp.asarray(sd["net.0.bias"].numpy()),
+                    "kernel": jnp.asarray(sd["net.0.weight"].float().numpy().T),
+                    "bias": jnp.asarray(sd["net.0.bias"].float().numpy()),
                 },
                 "fc_out": {
-                    "kernel": jnp.asarray(sd["net.2.weight"].numpy().T),
-                    "bias": jnp.asarray(sd["net.2.bias"].numpy()),
+                    "kernel": jnp.asarray(sd["net.2.weight"].float().numpy().T),
+                    "bias": jnp.asarray(sd["net.2.bias"].float().numpy()),
                 },
             }
 
     def _save_torch(self, path: Path) -> None:
         import torch
 
+        # fp16 on disk (the reference ships ~120 MB adapters; f32 would
+        # be 344 MB here) — loads cast back to f32/bf16 as needed
         blob = {}
         for name, params in self.params.items():
             blob[name] = {
                 "net.0.weight": torch.from_numpy(
                     np.asarray(params["fc_in"]["kernel"]).T.copy()
-                ),
+                ).half(),
                 "net.0.bias": torch.from_numpy(
                     np.asarray(params["fc_in"]["bias"]).copy()
-                ),
+                ).half(),
                 "net.2.weight": torch.from_numpy(
                     np.asarray(params["fc_out"]["kernel"]).T.copy()
-                ),
+                ).half(),
                 "net.2.bias": torch.from_numpy(
                     np.asarray(params["fc_out"]["bias"]).copy()
-                ),
+                ).half(),
             }
         torch.save(blob, path)
 

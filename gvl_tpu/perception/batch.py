@@ -33,6 +33,21 @@ logger = logging.getLogger(__name__)
 DEFAULT_CONCEPTS = ["player", "enemy", "boss", "item"]
 
 
+def _resolve_checkpoint(path) -> Optional[str]:
+    """Checkpoint path as given, else relative to the repo root (presets
+    use repo-relative defaults like ``outputs/sam_params.npz`` that must
+    resolve from any CWD)."""
+    from pathlib import Path
+
+    if not path:
+        return None
+    p = Path(path)
+    if p.exists():
+        return str(p)
+    rooted = Path(__file__).resolve().parents[2] / p
+    return str(rooted) if rooted.exists() else None
+
+
 def run_batched_perception(
     frames: Sequence[tuple[float, np.ndarray]],
     config,
@@ -131,8 +146,6 @@ def build_segmenter(config):
     """Segmenter from the preset ladder: trained JAX model when the
     checkpoint exists ("auto"), forced JAX ("jax", random-init without a
     checkpoint), or the deterministic fake ("fake")."""
-    from pathlib import Path
-
     from gvl_tpu.perception import (
         SAMConceptSegmenter,
         SAMConfig,
@@ -141,8 +154,7 @@ def build_segmenter(config):
 
     p = config.perception
     backend = getattr(p, "sam_backend", "auto")
-    ckpt = getattr(p, "sam_checkpoint", None)
-    ckpt = ckpt if (ckpt and Path(ckpt).exists()) else None
+    ckpt = _resolve_checkpoint(getattr(p, "sam_checkpoint", None))
     if backend == "jax" or (backend == "auto" and ckpt):
         return create_sam_segmenter(
             SAMConfig(), use_model=True, checkpoint=ckpt)
@@ -151,14 +163,12 @@ def build_segmenter(config):
 
 def build_siglip_encoder(config):
     """Semantic encoder from the preset ladder (checkpoint = HF dir)."""
-    from pathlib import Path
-
     from gvl_tpu.perception import SigLIPSemanticEncoder
 
     p = config.perception
     backend = getattr(p, "siglip_backend", "auto")
-    ckpt = getattr(p, "siglip_checkpoint", None)
-    if ckpt and Path(ckpt).exists():
+    ckpt = _resolve_checkpoint(getattr(p, "siglip_checkpoint", None))
+    if ckpt:
         return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt)
     if backend == "jax":
         return SigLIPSemanticEncoder.with_random_tower()

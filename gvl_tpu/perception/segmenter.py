@@ -249,11 +249,26 @@ class JaxSegmenterBackend:
             h, w = frame.shape[:2]
             per_frame = []
             for ci in range(len(concepts)):
+                # score-ordered mask NMS at the decode resolution: several
+                # queries typically fire on the same instance
+                order = np.argsort(-scores[fi, ci])
+                kept_small: list[np.ndarray] = []
                 dets = []
-                for qi in range(small_masks.shape[2]):
+                for qi in order:
                     if scores[fi, ci, qi] < self.config.detection_threshold:
                         continue
                     small = small_masks[fi, ci, qi]
+                    area = small.sum()
+                    if not area:
+                        continue
+                    dup = any(
+                        (small & k).sum() / max((small | k).sum(), 1)
+                        > self.config.nms_threshold
+                        for k in kept_small
+                    )
+                    if dup:
+                        continue
+                    kept_small.append(small)
                     mask = np.asarray(Image.fromarray(
                         small.astype(np.uint8) * 255
                     ).resize((w, h), Image.NEAREST)) > 127

@@ -67,8 +67,11 @@ class TestWeightInterchange:
         bank.save_weights(tmp_path / "projector_weights.pt")
         other = ProjectorBank(ReasoningCoreConfig()).init(jax.random.PRNGKey(9))
         other.load_weights(tmp_path / "projector_weights.pt")
+        # .pt stores fp16 (reference-sized artifacts), so the roundtrip
+        # carries half-precision quantization
         np.testing.assert_allclose(
-            np.asarray(other.project("videomae", x)), before, atol=1e-6)
+            np.asarray(other.project("videomae", x)), before,
+            rtol=5e-3, atol=2e-2)
 
     def test_pt_matches_reference_torch_module(self, bank, tmp_path):
         """The saved .pt must run through an actual torch Sequential
