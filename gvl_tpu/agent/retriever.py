@@ -58,9 +58,26 @@ class HashingTextEmbedder:
 
 
 def make_embedder(config: ReasoningCoreConfig) -> Optional[TextEmbedder]:
-    """Resolve the configured embedding model to an embedder instance."""
+    """Resolve the configured embedding model to an embedder instance.
+
+    Ladder: "hashing" sentinel → hashing embedder; a local checkpoint
+    directory → the native JAX MiniLM encoder (the TPU port of the
+    reference's all-MiniLM-L6-v2 retriever); otherwise try
+    sentence-transformers; fall back to hashing."""
+    import os
+
     if config.embedding_model == "hashing":
         return HashingTextEmbedder(config.embedding_dim)
+    if os.path.isdir(config.embedding_model):
+        try:
+            from gvl_tpu.models.minilm import MiniLMSentenceEncoder
+
+            return MiniLMSentenceEncoder.from_hf_checkpoint(
+                config.embedding_model)
+        except Exception as exc:
+            logger.warning(
+                "JAX MiniLM load from %r failed (%s); trying "
+                "sentence-transformers", config.embedding_model, exc)
     try:  # optional learned embedder (requires local weights)
         from sentence_transformers import SentenceTransformer
 

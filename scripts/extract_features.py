@@ -21,6 +21,7 @@ import logging
 import re
 import sys
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
@@ -109,7 +110,18 @@ def format_for_gpt(timeline: TimelineIndexer, kb: KnowledgeBaseBuilder,
 
 
 def extract_video(video_path: str, output_dir: Path, config,
-                  concepts: list[str], save_torch: bool = False) -> dict:
+                  concepts: list[str],
+                  save_torch: Optional[bool] = None) -> dict:
+    """``save_torch=None`` (default) writes the reference-layout ``.pt``
+    whenever torch is importable — bit-compatible artifact surface with
+    `/root/reference/scripts/extract_features.py:1432-1468` — alongside
+    the native ``.npz``."""
+    if save_torch is None:
+        try:
+            import torch  # noqa: F401
+            save_torch = True
+        except ImportError:
+            save_torch = False
     timeline = TimelineIndexer()
     kb = KnowledgeBaseBuilder()
 
@@ -198,8 +210,12 @@ def main(argv=None) -> int:
                         choices=["light", "standard", "full"])
     parser.add_argument("--fps", type=float, default=None)
     parser.add_argument("--concepts", nargs="*", default=DEFAULT_CONCEPTS)
-    parser.add_argument("--torch", action="store_true",
-                        help="also write reference-layout .pt embeddings")
+    parser.add_argument("--torch", dest="torch", action="store_true",
+                        default=None,
+                        help="force writing reference-layout .pt embeddings"
+                             " (default: write them whenever torch imports)")
+    parser.add_argument("--no-torch", dest="torch", action="store_false",
+                        help="skip the .pt embeddings file")
     parser.add_argument("--skip-hico", action="store_true", default=False)
     args = parser.parse_args(argv)
 

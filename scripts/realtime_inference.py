@@ -304,7 +304,13 @@ def process_video(
         _restore_from_cache(result, cached)
     else:
         with timer.stage("frame_extraction"):
-            frames = extract_frames(video_path, fps=config.inference.fps)
+            from gvl_tpu.io.ingest import resolve_video_source
+
+            # YouTube URLs download first (yt-dlp), codec files go
+            # through the ffmpeg→y4m→native ladder, synthetic://
+            # and .y4m hit the native paths directly
+            frames = resolve_video_source(
+                video_path, fps=config.inference.fps)
         result.timestamps = [t for t, _ in frames]
 
         if pipelined:

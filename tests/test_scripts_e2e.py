@@ -60,6 +60,31 @@ class TestScriptsEndToEnd:
         context = (feats / "synthetic_e2e_train_context.txt").read_text()
         assert "## Timeline" in context
 
+        # golden embeddings schema (COMPAT.md "Numerics": compatibility
+        # is schema + tolerance; this pins the schema)
+        import numpy as np
+
+        with np.load(feats / "synthetic_e2e_train_embeddings.npz") as z:
+            assert set(z.files) == {
+                "siglip_ts", "siglip", "videomae_ts", "videomae",
+                "wav2vec2_ts", "wav2vec2", "hico"}
+            assert z["siglip"].shape[1:] == (1152,)
+            assert z["videomae"].shape[1:] == (768,)
+            assert z["wav2vec2"].shape[1:] == (1024,)
+            assert z["hico"].shape[1:] == (1408,)
+            assert z["siglip_ts"].shape[0] == z["siglip"].shape[0]
+
+        # reference-layout .pt written by default (torch importable here)
+        # and loadable with weights_only=True, matching the npz bitwise
+        import torch
+
+        blob = torch.load(feats / "synthetic_e2e_train_embeddings.pt",
+                          weights_only=True)
+        with np.load(feats / "synthetic_e2e_train_embeddings.npz") as z:
+            assert set(blob) == set(z.files)
+            for k in blob:
+                np.testing.assert_array_equal(blob[k].numpy(), z[k])
+
         result = run_script([
             "scripts/train_projectors.py", "--features-dir", "features",
             "--output", "outputs/proj.pt", "--epochs", "1",
