@@ -275,3 +275,126 @@ def load_hf_siglip(
     )
     params = convert_hf_siglip_vision(model.state_dict(), config)
     return SigLIPVisionTower(config), {"params": params}
+
+
+# --------------------------------------------------------------------------
+# Text tower
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SigLIPTextConfig:
+    """Text-tower hyperparameters (defaults: so400m's text side)."""
+
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 27
+    num_heads: int = 16
+    vocab_size: int = 32000
+    max_position: int = 64
+    projection_size: int = 1152
+    layer_norm_eps: float = 1e-6
+
+    @classmethod
+    def tiny(cls, **kw) -> "SigLIPTextConfig":
+        base = dict(hidden_size=32, intermediate_size=64, num_layers=2,
+                    num_heads=2, vocab_size=256, max_position=16,
+                    projection_size=32)
+        base.update(kw)
+        return cls(**base)
+
+
+class SigLIPTextTower(nn.Module):
+    """SigLIP text encoder: no causal mask, no attention mask (the
+    SigLIP tokenizer pads to max_position and the model attends pads),
+    pooled output = LAST position through the projection head — exact
+    ``SiglipTextModel`` semantics.  Together with the vision tower this
+    gives real open-vocabulary region scoring (cosine over the shared
+    embedding space), the text side the reference gets from SAM3."""
+
+    config: SigLIPTextConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> dict[str, jax.Array]:
+        cfg = self.config
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                     name="token_embed")(input_ids)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (cfg.max_position, cfg.hidden_size))
+        x = x + pos[None, : x.shape[1]].astype(x.dtype)
+        for i in range(cfg.num_layers):
+            x = TransformerBlock(
+                num_heads=cfg.num_heads,
+                intermediate_dim=cfg.intermediate_size,
+                norm="layernorm",
+                mlp="gelu",
+                norm_eps=cfg.layer_norm_eps,
+                name=f"layers_{i}",
+            )(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
+        pooled = nn.Dense(cfg.projection_size, name="head")(x[:, -1])
+        return {"last_hidden_state": x, "pooled": pooled}
+
+
+def convert_hf_siglip_text(
+    state_dict: dict[str, Any], config: SigLIPTextConfig
+) -> dict:
+    """Map a ``SiglipTextModel`` state dict onto :class:`SigLIPTextTower`."""
+    sd = {k.removeprefix("text_model."): v for k, v in state_dict.items()}
+    params: dict[str, Any] = {
+        "token_embed": {
+            "embedding": _t(sd["embeddings.token_embedding.weight"])},
+        "pos_embed": _t(sd["embeddings.position_embedding.weight"]),
+        "final_norm": {
+            "scale": _t(sd["final_layer_norm.weight"]),
+            "bias": _t(sd["final_layer_norm.bias"]),
+        },
+        "head": {
+            "kernel": _t(sd["head.weight"]).T,
+            "bias": _t(sd["head.bias"]),
+        },
+    }
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}."
+        lin = lambda name: {
+            "kernel": _t(sd[pre + name + ".weight"]).T,
+            "bias": _t(sd[pre + name + ".bias"]),
+        }
+        ln = lambda name: {
+            "scale": _t(sd[pre + name + ".weight"]),
+            "bias": _t(sd[pre + name + ".bias"]),
+        }
+        params[f"layers_{i}"] = {
+            "LayerNorm_0": ln("layer_norm1"),
+            "attention": {
+                "q_proj": lin("self_attn.q_proj"),
+                "k_proj": lin("self_attn.k_proj"),
+                "v_proj": lin("self_attn.v_proj"),
+                "o_proj": lin("self_attn.out_proj"),
+            },
+            "LayerNorm_1": ln("layer_norm2"),
+            "mlp": {"fc1": lin("mlp.fc1"), "fc2": lin("mlp.fc2")},
+        }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_hf_siglip_text(
+    model_name_or_path: str, config: Optional[SigLIPTextConfig] = None
+) -> tuple[SigLIPTextTower, dict]:
+    """Load a HF text checkpoint from a local path into the Flax tower."""
+    from transformers import SiglipTextModel
+
+    model = SiglipTextModel.from_pretrained(model_name_or_path)
+    hf_cfg = model.config
+    config = config or SigLIPTextConfig(
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        vocab_size=hf_cfg.vocab_size,
+        max_position=hf_cfg.max_position_embeddings,
+        projection_size=getattr(hf_cfg, "projection_size",
+                                hf_cfg.hidden_size),
+    )
+    params = convert_hf_siglip_text(model.state_dict(), config)
+    return SigLIPTextTower(config), {"params": params}

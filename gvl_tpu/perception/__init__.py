@@ -24,6 +24,10 @@ from gvl_tpu.perception.semantic import (
     SigLIPSemanticEncoder,
     create_siglip_encoder,
 )
+from gvl_tpu.perception.open_vocab import (
+    OpenVocabSamBackend,
+    create_open_vocab_segmenter,
+)
 from gvl_tpu.perception.batch import (
     build_perception_stack,
     build_segmenter,
@@ -53,4 +57,6 @@ __all__ = [
     "build_segmenter",
     "build_siglip_encoder",
     "run_batched_perception",
+    "OpenVocabSamBackend",
+    "create_open_vocab_segmenter",
 ]

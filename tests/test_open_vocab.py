@@ -1,0 +1,113 @@
+"""Open-vocab composite (SAM proposals + SigLIP text scoring) wiring."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def backend():
+    from transformers import (
+        SamConfig,
+        SamModel,
+        SiglipTextConfig as HFTextCfg,
+        SiglipTextModel,
+    )
+
+    from gvl_tpu.models.sam_vit import SamViTConfig, convert_hf_sam
+    from gvl_tpu.models.siglip import (
+        SigLIPTextConfig,
+        SigLIPTextTower,
+        SigLIPVisionConfig,
+        SigLIPVisionTower,
+        convert_hf_siglip_text,
+    )
+    from gvl_tpu.perception.open_vocab import OpenVocabSamBackend
+    from gvl_tpu.perception.semantic import JaxSigLIPBackend
+
+    hf_sam_cfg = SamConfig(
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            image_size=64, patch_size=16, output_channels=16,
+            global_attn_indexes=[1], window_size=2, mlp_dim=64,
+            num_pos_feats=8),
+        prompt_encoder_config=dict(
+            hidden_size=16, image_embedding_size=4, image_size=64,
+            patch_size=16),
+        mask_decoder_config=dict(
+            hidden_size=16, num_attention_heads=2, num_hidden_layers=2,
+            iou_head_hidden_dim=16, mlp_dim=32),
+    )
+    torch.manual_seed(0)
+    sam = SamModel(hf_sam_cfg).eval()
+    sam_config = SamViTConfig.from_hf(hf_sam_cfg)
+    sam_params = convert_hf_sam(sam.state_dict(), sam_config)
+
+    vcfg = SigLIPVisionConfig.tiny(image_size=56)
+    tower = SigLIPVisionTower(vcfg)
+    vision_vars = jax.jit(tower.init)(
+        jax.random.PRNGKey(0), jnp.ones((1, 56, 56, 3)))
+    vision_backend = JaxSigLIPBackend(tower, vision_vars, dtype="float32")
+
+    tcfg = SigLIPTextConfig.tiny(
+        projection_size=vcfg.hidden_size)  # shared embedding dim
+    hf_text = SiglipTextModel(HFTextCfg(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, vocab_size=256,
+        max_position_embeddings=16, projection_size=vcfg.hidden_size,
+        hidden_act="gelu_pytorch_tanh")).eval()
+    text_params = {"params": convert_hf_siglip_text(
+        hf_text.state_dict(), tcfg)}
+    text_tower = SigLIPTextTower(tcfg)
+
+    def tokenize(texts):
+        ids = np.zeros((len(texts), tcfg.max_position), np.int32)
+        for i, t in enumerate(texts):
+            toks = [(hash(w) % 255) + 1 for w in t.split()][:16]
+            ids[i, :len(toks)] = toks
+        return ids
+
+    return OpenVocabSamBackend(
+        sam_config, sam_params, vision_backend, text_tower, text_params,
+        tokenize, grid=2, score_threshold=-10.0)  # keep all at random init
+
+
+class TestOpenVocabBackend:
+    def test_backend_protocol_shapes(self, backend):
+        rng = np.random.RandomState(0)
+        frames = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+                  for _ in range(2)]
+        concepts = ["enemy", "health bar"]
+        results = backend(frames, concepts, [0, 1])
+        assert len(results) == 2
+        for per_frame in results:
+            assert len(per_frame) == len(concepts)
+            for dets in per_frame:
+                for det in dets:
+                    mask = det["mask"]
+                    assert mask.mask.shape == (48, 64)
+                    assert 0 <= mask.area_pixels <= 48 * 64
+
+    def test_text_cache_reused(self, backend):
+        backend._text_cache.clear()
+        frames = [np.zeros((32, 32, 3), np.uint8)]
+        backend(frames, ["boss"], [0])
+        backend(frames, ["boss"], [0])
+        assert len(backend._text_cache) == 1
+
+    def test_tracker_integration(self, backend):
+        from gvl_tpu.perception.segmenter import SAMConceptSegmenter, SAMConfig
+
+        segmenter = SAMConceptSegmenter(SAMConfig(min_mask_area=1),
+                                        backend=backend)
+        rng = np.random.RandomState(1)
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        entities = segmenter.segment_with_prompts(frame, 0, ["enemy"])
+        # random weights: entities may or may not fire, but the call must
+        # round-trip the protocol and any entity must be well-formed
+        for e in entities:
+            assert e.concept_label == "enemy"
+            assert e.get_mask_at_frame(0) is not None

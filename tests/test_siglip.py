@@ -167,3 +167,59 @@ class TestSemanticEncoder:
         frame, masks = self.frame_and_masks()
         embs = enc.encode_masked_regions(frame, masks)
         assert embs[0].embedding.shape == (64,)
+
+
+class TestTextTowerParity:
+    @pytest.fixture(scope="class")
+    def text_pair(self):
+        import torch
+        from transformers import SiglipTextConfig as HFCfg, SiglipTextModel
+
+        from gvl_tpu.models.siglip import (
+            SigLIPTextConfig,
+            convert_hf_siglip_text,
+        )
+
+        hf_cfg = HFCfg(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, vocab_size=256,
+            max_position_embeddings=16, hidden_act="gelu_pytorch_tanh")
+        torch.manual_seed(0)
+        hf = SiglipTextModel(hf_cfg).eval()
+        cfg = SigLIPTextConfig.tiny()
+        params = convert_hf_siglip_text(hf.state_dict(), cfg)
+        return hf, cfg, {"params": params}
+
+    def test_pooled_and_hidden_match(self, text_pair):
+        import torch
+
+        from gvl_tpu.models.siglip import SigLIPTextTower
+
+        hf, cfg, variables = text_pair
+        rng = np.random.RandomState(0)
+        ids = rng.randint(0, cfg.vocab_size, (3, 16))
+        with torch.no_grad():
+            ref = hf(input_ids=torch.tensor(ids))
+        out = SigLIPTextTower(cfg).apply(variables, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(out["last_hidden_state"]),
+            ref.last_hidden_state.numpy(), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["pooled"]), ref.pooler_output.numpy(),
+            atol=2e-4)
+
+    def test_open_vocab_scoring_shape(self, text_pair):
+        """vision pooled x text pooled cosine — the open-vocab bridge."""
+        from gvl_tpu.models.siglip import SigLIPTextTower
+
+        _, cfg, variables = text_pair
+        rng = np.random.RandomState(1)
+        ids = rng.randint(0, cfg.vocab_size, (4, 16))  # 4 concepts
+        text = np.asarray(SigLIPTextTower(cfg).apply(
+            variables, jnp.asarray(ids))["pooled"])
+        regions = rng.randn(7, cfg.projection_size)    # 7 region embeddings
+        t = text / np.linalg.norm(text, axis=-1, keepdims=True)
+        r = regions / np.linalg.norm(regions, axis=-1, keepdims=True)
+        scores = r @ t.T
+        assert scores.shape == (7, 4)
+        assert np.abs(scores).max() <= 1.0 + 1e-6
