@@ -142,10 +142,11 @@ def run_batched_perception(
     return out
 
 
-def build_segmenter(config):
+def build_segmenter(config, mesh=None):
     """Segmenter from the preset ladder: trained JAX model when the
     checkpoint exists ("auto"), forced JAX ("jax", random-init without a
-    checkpoint), or the deterministic fake ("fake")."""
+    checkpoint), or the deterministic fake ("fake").  ``mesh`` enables
+    data-parallel segmentation over its ``data`` axis."""
     from gvl_tpu.perception import (
         SAMConceptSegmenter,
         SAMConfig,
@@ -157,11 +158,11 @@ def build_segmenter(config):
     ckpt = _resolve_checkpoint(getattr(p, "sam_checkpoint", None))
     if backend == "jax" or (backend == "auto" and ckpt):
         return create_sam_segmenter(
-            SAMConfig(), use_model=True, checkpoint=ckpt)
+            SAMConfig(), use_model=True, checkpoint=ckpt, mesh=mesh)
     return SAMConceptSegmenter(SAMConfig())
 
 
-def build_siglip_encoder(config):
+def build_siglip_encoder(config, mesh=None):
     """Semantic encoder from the preset ladder (checkpoint = HF dir)."""
     from gvl_tpu.perception import SigLIPSemanticEncoder
 
@@ -169,15 +170,20 @@ def build_siglip_encoder(config):
     backend = getattr(p, "siglip_backend", "auto")
     ckpt = _resolve_checkpoint(getattr(p, "siglip_checkpoint", None))
     if ckpt:
-        return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt)
+        return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt, mesh=mesh)
     if backend == "jax":
-        return SigLIPSemanticEncoder.with_random_tower()
+        return SigLIPSemanticEncoder.with_random_tower(mesh=mesh)
     return SigLIPSemanticEncoder()
 
 
-def build_perception_stack(config):
-    """(segmenter, encoder, ocr) honoring the preset's backend ladders."""
+def build_perception_stack(config, mesh=None):
+    """(segmenter, encoder, ocr) honoring the preset's backend ladders.
+
+    ``mesh`` data-parallelizes the segmenter and tower over its ``data``
+    axis — the fleet-scaling route for the 300 fps/chip perception
+    target on a v5e-8 (frames shard, each chip runs the full program)."""
     from gvl_tpu.perception import create_ocr_pipeline
 
-    return (build_segmenter(config), build_siglip_encoder(config),
+    return (build_segmenter(config, mesh=mesh),
+            build_siglip_encoder(config, mesh=mesh),
             create_ocr_pipeline(config.perception.ocr_backend))

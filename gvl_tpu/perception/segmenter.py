@@ -191,7 +191,10 @@ class JaxSegmenterBackend:
     """Batched Flax segmenter: frames × concepts in one jitted program."""
 
     def __init__(self, config: SAMConfig, model=None, variables=None,
-                 rng=None):
+                 rng=None, mesh=None):
+        """``mesh``: optional :class:`jax.sharding.Mesh` with a ``data``
+        axis — frames shard over it (data-parallel segmentation; XLA
+        keeps the whole frames×concepts program per shard)."""
         import jax
         import jax.numpy as jnp
 
@@ -211,8 +214,8 @@ class JaxSegmenterBackend:
             )
         self.variables = variables
         self._hash_tokenize = hash_tokenize
-
-        import jax.numpy as jnp
+        self.mesh = mesh
+        self._data_size = 1
 
         threshold = float(config.mask_threshold)
 
@@ -225,7 +228,17 @@ class JaxSegmenterBackend:
             return {"mask": out["mask_logits"] > threshold,
                     "scores": out["scores"]}
 
-        self._run = jax.jit(run)
+        if mesh is None:
+            self._run = jax.jit(run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_size = mesh.shape["data"]
+            self._frame_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self.variables = jax.device_put(self.variables, replicated)
+            self._run = jax.jit(run, in_shardings=(
+                replicated, self._frame_sharding, replicated))
 
     def __call__(self, frames, concepts, frame_indices):
         import jax.numpy as jnp
@@ -236,13 +249,23 @@ class JaxSegmenterBackend:
             np.asarray(Image.fromarray(f).resize((size, size), Image.BILINEAR))
             for f in frames
         ]).astype(np.uint8)
+        n_real = len(frames)
+        pad = (-n_real) % self._data_size
+        if pad:   # frame batch must divide the data axis
+            resized = np.concatenate(
+                [resized, np.zeros_like(resized[:1]).repeat(pad, 0)])
         tokens = np.stack([
             self._hash_tokenize(c, self.model_config.text_vocab)
             for c in concepts
         ])
-        out = self._run(self.variables, jnp.asarray(resized), jnp.asarray(tokens))
-        small_masks = np.asarray(out["mask"], bool)
-        scores = np.asarray(out["scores"], np.float32)
+        px = jnp.asarray(resized)
+        if self.mesh is not None:
+            import jax
+
+            px = jax.device_put(px, self._frame_sharding)
+        out = self._run(self.variables, px, jnp.asarray(tokens))
+        small_masks = np.asarray(out["mask"], bool)[:n_real]
+        scores = np.asarray(out["scores"], np.float32)[:n_real]
 
         results = []
         for fi, (frame, frame_idx) in enumerate(zip(frames, frame_indices)):
@@ -439,12 +462,14 @@ def create_sam_segmenter(
     config: Optional[SAMConfig] = None,
     use_model: bool = False,
     checkpoint: Optional[str] = None,
+    mesh=None,
 ) -> SAMConceptSegmenter:
     """Factory: JAX model backend when requested, deterministic fake else.
 
     ``checkpoint`` loads trained :class:`~gvl_tpu.models.sam.
     PromptableSegmenter` params from an ``.npz`` (flat ``/``-joined keys,
     the same layout :mod:`gvl_tpu.perception.ocr_model` uses).
+    ``mesh`` enables data-parallel segmentation over its ``data`` axis.
     """
     config = config or SAMConfig()
     backend = None
@@ -454,5 +479,5 @@ def create_sam_segmenter(
             from gvl_tpu.models.sam import load_segmenter_npz
 
             variables = load_segmenter_npz(checkpoint)
-        backend = JaxSegmenterBackend(config, variables=variables)
+        backend = JaxSegmenterBackend(config, variables=variables, mesh=mesh)
     return SAMConceptSegmenter(config, backend=backend)

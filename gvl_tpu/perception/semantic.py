@@ -198,18 +198,22 @@ class JaxSigLIPBackend:
 
     def __init__(self, tower, variables, dtype: str = "bfloat16",
                  image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
-                 pool_strategy: str = "mean"):
+                 pool_strategy: str = "mean", mesh=None):
+        """``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis —
+        the batch is sharded over it (data-parallel encode: each chip
+        takes batch/N images, embeddings gather back)."""
         import jax
         import jax.numpy as jnp
 
         self.tower = tower
         self.variables = variables
         self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.mesh = mesh
+        self._data_size = 1
         mean = jnp.asarray(image_mean, jnp.float32)
         std = jnp.asarray(image_std, jnp.float32)
         dt = self._dtype
 
-        @jax.jit
         def run(variables, pixels):
             if pixels.dtype == jnp.uint8:
                 pixels = ((pixels.astype(jnp.float32) / 255.0 - mean)
@@ -227,17 +231,36 @@ class JaxSigLIPBackend:
                 pooled = out["pooled"]
             return pooled.astype(jnp.float32)
 
-        self._run = run
+        if mesh is None:
+            self._run = jax.jit(run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_size = mesh.shape["data"]
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self.variables = jax.device_put(variables, replicated)
+            self._run = jax.jit(
+                run, in_shardings=(replicated, self._batch_sharding))
 
     def __call__(self, batch: np.ndarray) -> tuple[None, np.ndarray]:
         """Returns (None, pooled): pooling already happened on device."""
+        import jax
         import jax.numpy as jnp
 
         batch = np.asarray(batch)
         if batch.dtype != np.uint8:
             batch = batch.astype(self._dtype)
-        pooled = self._run(self.variables, jnp.asarray(batch))
-        return None, np.asarray(pooled, np.float32)
+        n = batch.shape[0]
+        pad = (-n) % self._data_size
+        if pad:   # batch must divide the data axis to shard evenly
+            batch = np.concatenate(
+                [batch, np.zeros_like(batch[:1]).repeat(pad, 0)])
+        x = jnp.asarray(batch)
+        if self.mesh is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        pooled = self._run(self.variables, x)
+        return None, np.asarray(pooled, np.float32)[:n]
 
 
 class SigLIPSemanticEncoder:
@@ -261,7 +284,9 @@ class SigLIPSemanticEncoder:
         self.projection = projection
 
     @classmethod
-    def from_hf_checkpoint(cls, path: str, config: Optional[NaFlexConfig] = None):
+    def from_hf_checkpoint(cls, path: str,
+                           config: Optional[NaFlexConfig] = None,
+                           mesh=None):
         from gvl_tpu.models.siglip import load_hf_siglip
 
         config = config or NaFlexConfig()
@@ -269,10 +294,11 @@ class SigLIPSemanticEncoder:
         return cls(config, backend=JaxSigLIPBackend(
             tower, variables, config.dtype,
             image_mean=config.image_mean, image_std=config.image_std,
-            pool_strategy=config.pool_strategy))
+            pool_strategy=config.pool_strategy, mesh=mesh))
 
     @classmethod
-    def with_random_tower(cls, config: Optional[NaFlexConfig] = None):
+    def with_random_tower(cls, config: Optional[NaFlexConfig] = None,
+                          mesh=None):
         """Real so400m tower, random init — the full TPU compute path
         without weights (perf benches, smoke tests; embeddings are
         meaningless)."""
@@ -292,7 +318,7 @@ class SigLIPSemanticEncoder:
         return cls(config, backend=JaxSigLIPBackend(
             tower, params, config.dtype,
             image_mean=config.image_mean, image_std=config.image_std,
-            pool_strategy=config.pool_strategy))
+            pool_strategy=config.pool_strategy, mesh=mesh))
 
     # ------------------------------------------------------------ encoding
 

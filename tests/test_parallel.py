@@ -105,3 +105,58 @@ class TestShardingRules:
 
         out = step(xs, ws)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+
+class TestDataParallelPerception:
+    """Frames shard over the mesh's data axis; results match 1-device."""
+
+    def test_segmenter_dp_matches_single(self):
+        import numpy as np
+
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.perception.segmenter import (
+            JaxSegmenterBackend,
+            SAMConfig,
+        )
+
+        config = SAMConfig(image_size=64)
+        single = JaxSegmenterBackend(config)
+        mesh = build_mesh(data=8, model=1)
+        dp = JaxSegmenterBackend(config, variables=single.variables,
+                                 mesh=mesh)
+        rng = np.random.RandomState(0)
+        frames = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+                  for _ in range(5)]   # 5 % 8 != 0: exercises padding
+        concepts = ["player", "enemy"]
+        a = single(frames, concepts, list(range(5)))
+        b = dp(frames, concepts, list(range(5)))
+        assert len(a) == len(b) == 5
+        for fa, fb in zip(a, b):
+            for ca, cb in zip(fa, fb):
+                assert len(ca) == len(cb)
+                for da, db in zip(ca, cb):
+                    np.testing.assert_array_equal(
+                        da["mask"].mask, db["mask"].mask)
+                    assert da["mask"].confidence == pytest.approx(
+                        db["mask"].confidence, abs=1e-5)
+
+    def test_siglip_dp_matches_single(self):
+        import numpy as np
+
+        from gvl_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.perception.semantic import JaxSigLIPBackend
+
+        cfg = SigLIPVisionConfig.tiny(image_size=56)
+        tower = SigLIPVisionTower(cfg)
+        variables = jax.jit(tower.init)(
+            jax.random.PRNGKey(0), jnp.ones((1, 56, 56, 3)))
+        single = JaxSigLIPBackend(tower, variables, dtype="float32")
+        mesh = build_mesh(data=8, model=1)
+        dp = JaxSigLIPBackend(tower, variables, dtype="float32", mesh=mesh)
+        rng = np.random.RandomState(1)
+        batch = rng.randint(0, 255, (6, 56, 56, 3)).astype(np.uint8)
+        _, ref = single(batch)
+        _, out = dp(batch)
+        assert out.shape == ref.shape == (6, cfg.hidden_size)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
