@@ -213,6 +213,27 @@ def bench_decode_8b() -> dict:
     cfg8, model8, variables8 = _build_8b_int8(1024)
     per_step = _decode_per_step(model8, cfg8, variables8, batch=8)
     out["decode_tok_s_8b_batch8"] = round(8.0 / per_step, 1)
+
+    # TTFT p50 through the serving stack (EngineServer + continuous
+    # batching): submit → first streamed token, host-observed
+    from gvl_tpu.serving.batch_engine import ContinuousBatchingEngine
+    from gvl_tpu.serving.engine_server import EngineServer
+
+    engine = ContinuousBatchingEngine(
+        cfg8, {"params": variables8["params"]}, eos_token_id=-1,
+        num_slots=2, temperature=0.0)
+    server = EngineServer(engine)
+    prompt = list(range(500))
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        stream = server.submit_stream(prompt[:-1] + [i], max_new_tokens=2)
+        next(iter(stream))
+        ts.append(time.perf_counter() - t0)
+    server.shutdown()
+    # first request pays compilation; p50 of the rest
+    out["ttft_ms_8b_served_p50"] = round(
+        sorted(ts[1:])[len(ts[1:]) // 2] * 1e3, 1)
     return out
 
 

@@ -64,9 +64,6 @@ class ContinuousBatchingEngine:
         top_k: int = 20,
         rng: Optional[jax.Array] = None,
     ):
-        if config.scan_layers:
-            raise NotImplementedError(
-                "continuous batching currently requires scan_layers=False")
         self.config = config
         self.variables = variables
         self.eos_token_id = eos_token_id
@@ -76,17 +73,22 @@ class ContinuousBatchingEngine:
         self._sampling = (float(temperature), float(top_p), int(top_k))
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        self.cache = KVCache(
-            k=tuple(jnp.zeros(
-                (num_slots, config.num_kv_heads, config.max_cache_length,
-                 config.head_dim), dtype)
-                for _ in range(config.num_layers)),
-            v=tuple(jnp.zeros(
-                (num_slots, config.num_kv_heads, config.max_cache_length,
-                 config.head_dim), dtype)
-                for _ in range(config.num_layers)),
-            length=jnp.zeros((num_slots,), jnp.int32),
-        )
+        slot_shape = (num_slots, config.num_kv_heads,
+                      config.max_cache_length, config.head_dim)
+        if config.scan_layers:  # one stacked [L, slots, ...] array per side
+            self.cache = KVCache(
+                k=jnp.zeros((config.num_layers, *slot_shape), dtype),
+                v=jnp.zeros((config.num_layers, *slot_shape), dtype),
+                length=jnp.zeros((num_slots,), jnp.int32),
+            )
+        else:
+            self.cache = KVCache(
+                k=tuple(jnp.zeros(slot_shape, dtype)
+                        for _ in range(config.num_layers)),
+                v=tuple(jnp.zeros(slot_shape, dtype)
+                        for _ in range(config.num_layers)),
+                length=jnp.zeros((num_slots,), jnp.int32),
+            )
         self._last_token = np.zeros((num_slots,), np.int32)
         self._slot_req: list[Optional[Request]] = [None] * num_slots
         self._queue: list[Request] = []
@@ -120,16 +122,34 @@ class ContinuousBatchingEngine:
         model = self._chunk_model
         temperature, top_p, top_k = self._sampling
 
+        scan = self.config.scan_layers
+
+        def slice_slot(sides, slot):
+            """One slot's cache out of the all-slots arrays (tuple of
+            [slots,...] per layer, or stacked [L, slots, ...])."""
+            if scan:
+                shape = sides.shape
+                return jax.lax.dynamic_slice(
+                    sides, (0, slot, 0, 0, 0), (shape[0], 1, *shape[2:]))
+            shape = sides[0].shape
+            return tuple(jax.lax.dynamic_slice(
+                s, (slot, 0, 0, 0), (1, *shape[1:])) for s in sides)
+
+        def restore_slot(big, small, slot):
+            if scan:
+                return jax.lax.dynamic_update_slice(
+                    big, small, (0, slot, 0, 0, 0))
+            return tuple(
+                jax.lax.dynamic_update_slice(b, s, (slot, 0, 0, 0))
+                for b, s in zip(big, small))
+
         @partial(jax.jit, donate_argnums=(1, 2))
         def delta_prefill(variables, k_all, v_all, lengths, slot, tokens,
                           true_len, rng):
             offset = lengths[slot]
-            shape = k_all[0].shape  # [slots, H, S, D]
             small = KVCache(
-                k=tuple(jax.lax.dynamic_slice(
-                    k, (slot, 0, 0, 0), (1, *shape[1:])) for k in k_all),
-                v=tuple(jax.lax.dynamic_slice(
-                    v, (slot, 0, 0, 0), (1, *shape[1:])) for v in v_all),
+                k=slice_slot(k_all, slot),
+                v=slice_slot(v_all, slot),
                 length=offset,
             )
             positions = offset + jnp.arange(size, dtype=jnp.int32)
@@ -138,12 +158,8 @@ class ContinuousBatchingEngine:
             idx = jnp.full((1, 1, 1), true_len - 1)
             last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
             token = sample_logits(last, rng, temperature, top_p, top_k)
-            new_k = tuple(
-                jax.lax.dynamic_update_slice(big, s, (slot, 0, 0, 0))
-                for big, s in zip(k_all, small.k))
-            new_v = tuple(
-                jax.lax.dynamic_update_slice(big, s, (slot, 0, 0, 0))
-                for big, s in zip(v_all, small.v))
+            new_k = restore_slot(k_all, small.k, slot)
+            new_v = restore_slot(v_all, small.v, slot)
             new_lengths = lengths.at[slot].set(offset + true_len)
             return token[0], new_k, new_v, new_lengths
 

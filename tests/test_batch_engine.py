@@ -254,3 +254,75 @@ class TestSlotPrefixCaching:
                 engine.submit(PROMPTS[2], 4)]
         results = engine.run()
         assert [results[r] for r in rids] == [e[:4] for e in expected]
+
+
+class TestScanLayersEngine:
+    def test_scan_engine_matches_unrolled(self, model_setup):
+        """scan_layers=True serving path produces identical tokens."""
+        import dataclasses
+
+        cfg, variables = model_setup
+        cfg_scan = dataclasses.replace(cfg, scan_layers=True)
+        from gvl_tpu.models.qwen3 import convert_hf_qwen3  # noqa: F401
+        # restack the unrolled params for the scan model
+        import jax as _jax
+        import numpy as _np
+
+        params = variables["params"]
+        layer_names = sorted(
+            (k for k in params if k.startswith("layers_")),
+            key=lambda s: int(s.split("_")[1]))
+        stacked = _jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[params[n] for n in layer_names])
+        scan_params = {k: v for k, v in params.items()
+                       if not k.startswith("layers_")}
+        scan_params["layers"] = {"layer": stacked}
+        ref_engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        scan_engine = ContinuousBatchingEngine(
+            cfg_scan, {"params": scan_params}, eos_token_id=-1,
+            num_slots=2, dtype=jnp.float32, temperature=0.0)
+        for engine in (ref_engine, scan_engine):
+            for p in PROMPTS:
+                engine.submit(p, max_new_tokens=5)
+            engine.run()
+        for rid in range(len(PROMPTS)):
+            assert (scan_engine._requests[rid].tokens
+                    == ref_engine._requests[rid].tokens)
+
+    def test_scan_session_delta_prefill(self, model_setup):
+        """Per-slot prefix caching works with the stacked cache too."""
+        import dataclasses
+
+        cfg, variables = model_setup
+        cfg_scan = dataclasses.replace(cfg, scan_layers=True)
+        import jax as _jax
+
+        params = variables["params"]
+        layer_names = sorted(
+            (k for k in params if k.startswith("layers_")),
+            key=lambda s: int(s.split("_")[1]))
+        stacked = _jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[params[n] for n in layer_names])
+        scan_params = {k: v for k, v in params.items()
+                       if not k.startswith("layers_")}
+        scan_params["layers"] = {"layer": stacked}
+        engine = ContinuousBatchingEngine(
+            cfg_scan, {"params": scan_params}, eos_token_id=-1,
+            num_slots=2, dtype=jnp.float32, temperature=0.0)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=4,
+                             session_key="s")
+        engine.run()
+        first = engine._requests[rid1].tokens
+        transcript = PROMPTS[0] + first + [9]
+        rid2 = engine.submit(transcript, max_new_tokens=4,
+                             session_key="s")
+        engine.run()
+        # delta-only prefill for the returning session
+        assert engine._requests[rid2].prefilled < len(transcript)
+        # and the continuation matches a fresh single engine
+        expected = Qwen3Engine(
+            cfg, variables, eos_token_id=-1, dtype=jnp.float32
+        ).generate(transcript, max_new_tokens=4, temperature=0.0)
+        assert engine._requests[rid2].tokens == expected
