@@ -22,15 +22,29 @@ from gvl_tpu.config import load_preset
 from gvl_tpu.serving import create_server
 
 
-def _attach_llm(service, checkpoint: str, num_slots: int) -> None:
+def _attach_llm(service, checkpoint: str, num_slots: int,
+                int8: bool = False) -> None:
     """Load an HF Qwen3 checkpoint and serve it through the shared
-    continuous-batching engine (``POST /generate``)."""
+    continuous-batching engine (``POST /generate``).
+
+    ``int8`` quantizes the loaded weights per-output-channel
+    (weight-only) — decode HBM traffic halves and an 8B model fits one
+    v5e chip; see ``gvl_tpu.models.qwen3.quantize_int8``."""
     from transformers import AutoTokenizer
 
     from gvl_tpu.models.qwen3 import load_hf_qwen3
     from gvl_tpu.serving import ContinuousBatchingEngine, EngineServer
 
     model, variables = load_hf_qwen3(checkpoint)
+    if int8:
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import Qwen3Model, quantize_int8
+
+        qparams = quantize_int8(variables["params"], model.config)
+        model = Qwen3Model(dataclasses.replace(
+            model.config, quant_int8=True, lora_rank=0))
+        variables = {"params": qparams}
     try:
         tokenizer = AutoTokenizer.from_pretrained(checkpoint)
     except Exception:  # weights-only checkpoint: serve prompt_ids
@@ -67,12 +81,17 @@ def main(argv=None) -> int:
                              "backed by the continuous-batching engine")
     parser.add_argument("--num-slots", type=int, default=8,
                         help="concurrent decode slots for /generate")
+    parser.add_argument("--int8", action="store_true",
+                        help="weight-only int8 quantize the LLM after "
+                             "load (halves decode HBM traffic; 8B fits "
+                             "one v5e chip)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
     server = create_server(args.host, args.port, load_preset(args.preset))
     if args.llm_checkpoint:
-        _attach_llm(server.service, args.llm_checkpoint, args.num_slots)
+        _attach_llm(server.service, args.llm_checkpoint, args.num_slots,
+                    int8=args.int8)
     logging.getLogger(__name__).info(
         "serving on %s:%d", args.host, args.port)
     server.serve_forever()

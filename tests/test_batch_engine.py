@@ -326,3 +326,22 @@ class TestScanLayersEngine:
             cfg, variables, eos_token_id=-1, dtype=jnp.float32
         ).generate(transcript, max_new_tokens=4, temperature=0.0)
         assert engine._requests[rid2].tokens == expected
+
+
+class TestInt8Engine:
+    def test_int8_engine_serves(self, model_setup):
+        """Weight-only int8 variables through the batching engine
+        (the deploy_api --int8 path) produce sane tokens."""
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import quantize_int8
+
+        cfg, variables = model_setup
+        qparams = quantize_int8(variables["params"], cfg)
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+        engine = ContinuousBatchingEngine(
+            cfg_q, {"params": qparams}, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        results = engine.generate_many(PROMPTS[:2], max_new_tokens=4)
+        assert all(len(r) == 4 for r in results)
+        assert all(0 <= t < cfg.vocab_size for r in results for t in r)
