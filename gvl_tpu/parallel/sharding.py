@@ -54,13 +54,22 @@ class ShardingRules:
 LLM_RULES = ShardingRules([
     # token embedding: shard the hidden dim (all-gather activations once)
     (r"embed_tokens/embedding$", P(None, "model")),
-    (r"lm_head/kernel$", P(None, "model")),
-    # attention projections (plain Dense or LoRADense "base" kernels)
-    (r"(self_)?att(ention|n)?/(q|k|v)_proj/(base/)?kernel$", P(None, "model")),
-    (r"(self_)?att(ention|n)?/o_proj/(base/)?kernel$", P("model", None)),
+    (r"lm_head/kernel(_q)?$", P(None, "model")),
+    (r"lm_head/scale$", P("model")),
+    # attention projections (plain Dense, LoRADense "base", or the
+    # int8 "base/kernel_q" weight-only layout — scales follow the
+    # output dim of their kernel)
+    (r"(self_)?att(ention|n)?/(q|k|v)_proj/(base/)?kernel(_q)?$",
+     P(None, "model")),
+    (r"(self_)?att(ention|n)?/(q|k|v)_proj/base/scale$", P("model")),
+    (r"(self_)?att(ention|n)?/o_proj/(base/)?kernel(_q)?$",
+     P("model", None)),
+    (r"(self_)?att(ention|n)?/o_proj/base/scale$", P()),
     # MLP
-    (r"mlp/(gate|up)_proj/(base/)?kernel$", P(None, "model")),
-    (r"mlp/down_proj/(base/)?kernel$", P("model", None)),
+    (r"mlp/(gate|up)_proj/(base/)?kernel(_q)?$", P(None, "model")),
+    (r"mlp/(gate|up)_proj/base/scale$", P("model")),
+    (r"mlp/down_proj/(base/)?kernel(_q)?$", P("model", None)),
+    (r"mlp/down_proj/base/scale$", P()),
     # LoRA: B follows the column-parallel output dim; A of row-parallel
     # layers shards its input dim; everything else replicated
     (r"(q|k|v|gate|up)_proj/lora_b$", P(None, "model")),

@@ -160,3 +160,48 @@ class TestDataParallelPerception:
         _, out = dp(batch)
         assert out.shape == ref.shape == (6, cfg.hidden_size)
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestInt8TPSharding:
+    def test_int8_tp_decode_matches_unsharded(self):
+        """TP-sharded int8 model == unsharded int8 (virtual 8-dev mesh)."""
+        import dataclasses
+
+        import numpy as np
+
+        from gvl_tpu.models.qwen3 import (
+            Qwen3Config,
+            Qwen3Engine,
+            Qwen3Model,
+            quantize_int8,
+        )
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        cfg = Qwen3Config.tiny(max_cache_length=64)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        qparams = quantize_int8(params, cfg)
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+
+        ref = Qwen3Engine(cfg_q, {"params": qparams}, eos_token_id=-1,
+                          dtype=jnp.float32)
+        expected = ref.generate([7, 3, 99], max_new_tokens=6,
+                                temperature=0.0)
+
+        mesh = build_mesh(data=1, model=8)
+        sharded = shard_pytree(qparams, mesh, LLM_RULES)
+        # every int8 kernel got a real (non-replicated) model sharding
+        from jax.sharding import PartitionSpec as P
+
+        flat = jax.tree_util.tree_leaves_with_path(sharded)
+        q_specs = [leaf.sharding.spec for path, leaf in flat
+                   if getattr(path[-1], "key", "") == "kernel_q"]
+        assert q_specs and all(
+            "model" in str(spec) for spec in q_specs)
+
+        tp = Qwen3Engine(cfg_q, {"params": sharded}, eos_token_id=-1,
+                         dtype=jnp.float32)
+        assert tp.generate([7, 3, 99], max_new_tokens=6,
+                           temperature=0.0) == expected
