@@ -162,13 +162,25 @@ class TemporalCompressionModule:
         config: Optional[HiCoConfig] = None,
         frame_encoder: Optional[Callable] = None,
         rng: Optional[jax.Array] = None,
+        checkpoint: Optional[str] = "outputs/hico_params.npz",
     ):
         self.config = config or HiCoConfig()
         self.frame_encoder = frame_encoder or HashFrameEncoder(self.config.hidden_dim)
         self.compressor = HierarchicalCompressor(self.config)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, self.config.frames_per_clip, self.config.hidden_dim))
-        self.variables = jax.jit(self.compressor.init)(rng, dummy)
+        self.variables = None
+        if checkpoint:   # trained queries when the artifact exists
+            resolved = _resolve_checkpoint(checkpoint)
+            if resolved:
+                try:
+                    self.variables = load_hico_npz(resolved)
+                    logger.info("loaded HiCo compressor from %s", resolved)
+                except Exception as exc:
+                    logger.warning("HiCo checkpoint %s unusable (%s); "
+                                   "random init", resolved, exc)
+        if self.variables is None:
+            self.variables = jax.jit(self.compressor.init)(rng, dummy)
         self._compress_clip = jax.jit(
             lambda v, x: self.compressor.apply(
                 v, x, method=HierarchicalCompressor.compress_frames_to_clip
@@ -312,3 +324,34 @@ def create_hico_module(
         HiCoConfig(clip_duration_sec=clip_duration, frames_per_clip=frames_per_clip),
         frame_encoder=frame_encoder,
     )
+
+
+# --------------------------------------------------------------------------
+# Checkpoint IO (flat-npz layout, same scheme as the other artifacts)
+# --------------------------------------------------------------------------
+
+def _resolve_checkpoint(path) -> Optional[str]:
+    """Path as given, else relative to the repo root."""
+    from pathlib import Path
+
+    p = Path(path)
+    if p.exists():
+        return str(p)
+    rooted = Path(__file__).resolve().parents[2] / p
+    return str(rooted) if rooted.exists() else None
+
+
+def save_hico_npz(variables: dict, path) -> None:
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(variables).items()}
+    np.savez(path, **flat)
+
+
+def load_hico_npz(path) -> dict:
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as data:
+        flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data}
+    return unflatten_dict(flat)

@@ -1,6 +1,7 @@
 """Audio subsystem (mel, chunking, events, ASR fakes) + temporal HiCo +
 context hierarchy."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -219,3 +220,55 @@ class TestContextHierarchy:
         mgr.add_observation(0.0, 1.0, "a")
         mgr.clear()
         assert mgr.get_context_for_llm() == ""
+
+
+class TestHicoTraining:
+    def test_tiny_training_beats_chance(self):
+        """Short self-supervised run: clip tokens retrieve their own
+        sequences above chance; checkpoint round-trips; module loads it."""
+        import logging
+
+        import numpy as np
+
+        from gvl_tpu.temporal.hico import (
+            HiCoConfig,
+            TemporalCompressionModule,
+            load_hico_npz,
+            save_hico_npz,
+        )
+        from gvl_tpu.training.hico_train import (
+            HicoTrainConfig,
+            evaluate_hico,
+            train_hico,
+        )
+
+        mc = HiCoConfig(hidden_dim=32, num_heads=2)
+        tc = HicoTrainConfig(steps=30, batch_size=8, frames_per_clip=8,
+                             log_every=0)
+        variables = train_hico(mc, tc)
+        metrics = evaluate_hico(variables, mc, tc, n_batches=2)
+        assert metrics["retrieval_acc"] >= metrics["chance"]
+
+        import tempfile
+        from pathlib import Path
+
+        with tempfile.TemporaryDirectory() as d:
+            path = Path(d) / "hico.npz"
+            save_hico_npz(variables, path)
+            loaded = load_hico_npz(path)
+            leaves_a = jax.tree_util.tree_leaves(variables)
+            leaves_b = jax.tree_util.tree_leaves(loaded)
+            assert all(np.allclose(a, b)
+                       for a, b in zip(leaves_a, leaves_b))
+
+            module = TemporalCompressionModule(mc, checkpoint=str(path))
+            got = jax.tree_util.tree_leaves(module.variables)
+            assert all(np.allclose(a, b) for a, b in zip(leaves_a, got))
+
+    def test_missing_checkpoint_falls_back_to_init(self):
+        from gvl_tpu.temporal.hico import HiCoConfig, TemporalCompressionModule
+
+        mc = HiCoConfig(hidden_dim=32, num_heads=2)
+        module = TemporalCompressionModule(
+            mc, checkpoint="nonexistent/hico.npz")
+        assert module.variables is not None

@@ -127,6 +127,8 @@ class TestBackendNMS:
         config = SAMConfig(image_size=64)
         backend = JaxSegmenterBackend.__new__(JaxSegmenterBackend)
         backend.config = config
+        backend.mesh = None
+        backend._data_size = 1
         from gvl_tpu.models.sam import SamConfig as MC, hash_tokenize as ht
         backend.model_config = MC(image_size=64)
         backend._hash_tokenize = ht
