@@ -174,7 +174,15 @@ class TemporalCompressionModule:
             resolved = _resolve_checkpoint(checkpoint)
             if resolved:
                 try:
-                    self.variables = load_hico_npz(resolved)
+                    loaded = load_hico_npz(resolved)
+                    pe = loaded["params"]["temporal_pe"]
+                    want = (self.config.max_positions,
+                            self.config.hidden_dim)
+                    if tuple(pe.shape) != want:
+                        raise ValueError(
+                            f"geometry mismatch: checkpoint temporal_pe "
+                            f"{tuple(pe.shape)} != config {want}")
+                    self.variables = loaded
                     logger.info("loaded HiCo compressor from %s", resolved)
                 except Exception as exc:
                     logger.warning("HiCo checkpoint %s unusable (%s); "
