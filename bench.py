@@ -109,10 +109,12 @@ def bench_perception_e2e(n_frames: int = 48) -> float:
     frames = [(i / 2.0, video.frame(i)) for i in range(n_frames)]
 
     stack = build_perception_stack(config)
-    # warm: compile segmenter/tower/OCR programs on a full-size chunk
-    run_batched_perception(frames[:8], config, TimelineIndexer(),
+    # warm on the SAME clip so every region/recognizer bucket the timed
+    # pass hits is compiled (steady-state throughput, not cold start)
+    run_batched_perception(frames, config, TimelineIndexer(),
                            KnowledgeBaseBuilder(), segmenter=stack[0],
                            encoder=stack[1], ocr=stack[2])
+    stack[0].reset()
     timeline, kb = TimelineIndexer(), KnowledgeBaseBuilder()
     t0 = time.perf_counter()
     run_batched_perception(frames, config, timeline, kb,
