@@ -168,12 +168,12 @@ class OpenVocabSamBackend:
 
     def __call__(self, frames, concepts, frame_indices):
         import jax.numpy as jnp
-        from PIL import Image
+
+        from gvl_tpu.runtime.native import resize_image
 
         size = self.sam_config.image_size
         batch = np.stack([
-            np.asarray(Image.fromarray(f).resize((size, size),
-                                                 Image.BILINEAR))
+            resize_image(np.ascontiguousarray(f), size, size)
             for f in frames
         ]).astype(np.uint8)
         n_pts = self._points.shape[0]
@@ -197,9 +197,9 @@ class OpenVocabSamBackend:
             regions, full_masks = [], []
             for j in kept:
                 small = prop_masks[fi, j]
-                mask = np.asarray(Image.fromarray(
-                    small.astype(np.uint8) * 255
-                ).resize((w, h), Image.NEAREST)) > 127
+                from gvl_tpu.runtime.native import resize_mask
+
+                mask = resize_mask(small, h, w)
                 ys, xs = np.where(mask)
                 if len(xs) == 0:
                     continue

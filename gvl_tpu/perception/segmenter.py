@@ -242,13 +242,15 @@ class JaxSegmenterBackend:
 
     def __call__(self, frames, concepts, frame_indices):
         import jax.numpy as jnp
-        from PIL import Image
+
+        from gvl_tpu.runtime.native import resize_batch, resize_image
 
         size = self.config.image_size
-        resized = np.stack([
-            np.asarray(Image.fromarray(f).resize((size, size), Image.BILINEAR))
-            for f in frames
-        ]).astype(np.uint8)
+        if len({f.shape for f in frames}) == 1:
+            resized = resize_batch(np.stack(frames), size, size)
+        else:
+            resized = np.stack([
+                resize_image(f, size, size) for f in frames])
         n_real = len(frames)
         pad = (-n_real) % self._data_size
         if pad:   # frame batch must divide the data axis
@@ -292,9 +294,9 @@ class JaxSegmenterBackend:
                     if dup:
                         continue
                     kept_small.append(small)
-                    mask = np.asarray(Image.fromarray(
-                        small.astype(np.uint8) * 255
-                    ).resize((w, h), Image.NEAREST)) > 127
+                    from gvl_tpu.runtime.native import resize_mask
+
+                    mask = resize_mask(small, h, w)
                     ys, xs = np.where(mask)
                     bbox = (
                         BoundingBox(float(xs.min()), float(ys.min()),

@@ -88,18 +88,16 @@ class AspectPreservingResizer:
 
         Returns (uint8 [canvas, canvas, 3], aspect_ratio).
         """
-        from PIL import Image
+        from gvl_tpu.runtime.native import resize_image
 
         h, w = image.shape[:2]
         aspect = w / h if h else 1.0
         scale = canvas / max(h, w)
         nh = max(1, min(canvas, int(round(h * scale))))
         nw = max(1, min(canvas, int(round(w * scale))))
-        resized = np.asarray(
-            Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
-        )
+        resized = resize_image(np.ascontiguousarray(image), nh, nw)
         out = np.zeros((canvas, canvas, 3), dtype=np.uint8)
-        out[:nh, :nw] = resized
+        out[:nh, :nw] = resized if resized.ndim == 3 else resized[..., None]
         return out, aspect
 
 

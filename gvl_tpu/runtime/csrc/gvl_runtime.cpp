@@ -314,4 +314,104 @@ void prefetch_destroy(void* handle) {
   delete p;
 }
 
+// ------------------------------------------------------------------ resize
+//
+// Host-side image resize is on the perception hot path (every frame is
+// resized for the segmenter, every region for the encoder, every mask
+// back to frame size).  PIL does this through Python per call; these are
+// tight fixed-point loops the compiler vectorizes.
+
+// Area-average downscale / bilinear upscale, uint8 interleaved channels.
+// src [sh][sw][c] -> dst [dh][dw][c].
+int resize_u8(const uint8_t* src, int sh, int sw, int c,
+              uint8_t* dst, int dh, int dw) {
+  if (!src || !dst || sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0 || c <= 0)
+    return 0;
+  const bool down = (dh <= sh && dw <= sw);
+  if (down) {
+    // box filter: average the source rectangle mapping to each dest px
+    for (int y = 0; y < dh; ++y) {
+      const float fy0 = (float)y * sh / dh;
+      const float fy1 = (float)(y + 1) * sh / dh;
+      int y0 = (int)fy0, y1 = (int)(fy1 + 0.9999f);
+      if (y1 > sh) y1 = sh;
+      if (y1 <= y0) y1 = y0 + 1;
+      for (int x = 0; x < dw; ++x) {
+        const float fx0 = (float)x * sw / dw;
+        const float fx1 = (float)(x + 1) * sw / dw;
+        int x0 = (int)fx0, x1 = (int)(fx1 + 0.9999f);
+        if (x1 > sw) x1 = sw;
+        if (x1 <= x0) x1 = x0 + 1;
+        const int area = (y1 - y0) * (x1 - x0);
+        for (int ch = 0; ch < c; ++ch) {
+          uint32_t acc = 0;
+          for (int yy = y0; yy < y1; ++yy) {
+            const uint8_t* row = src + ((long)yy * sw) * c + ch;
+            for (int xx = x0; xx < x1; ++xx) acc += row[(long)xx * c];
+          }
+          dst[((long)y * dw + x) * c + ch] =
+              (uint8_t)((acc + area / 2) / area);
+        }
+      }
+    }
+  } else {
+    // bilinear (half-pixel centers), 8.8 fixed point
+    for (int y = 0; y < dh; ++y) {
+      float fy = ((float)y + 0.5f) * sh / dh - 0.5f;
+      if (fy < 0) fy = 0;
+      int y0 = (int)fy;
+      if (y0 > sh - 2) y0 = sh - 2 < 0 ? 0 : sh - 2;
+      const int wy = (int)((fy - y0) * 256.0f);
+      for (int x = 0; x < dw; ++x) {
+        float fx = ((float)x + 0.5f) * sw / dw - 0.5f;
+        if (fx < 0) fx = 0;
+        int x0 = (int)fx;
+        if (x0 > sw - 2) x0 = sw - 2 < 0 ? 0 : sw - 2;
+        const int wx = (int)((fx - x0) * 256.0f);
+        const uint8_t* p00 = src + ((long)y0 * sw + x0) * c;
+        const uint8_t* p01 = p00 + (sw > 1 ? c : 0);
+        const uint8_t* p10 = p00 + (sh > 1 ? (long)sw * c : 0);
+        const uint8_t* p11 = p10 + (sw > 1 ? c : 0);
+        for (int ch = 0; ch < c; ++ch) {
+          const int top = p00[ch] * (256 - wx) + p01[ch] * wx;
+          const int bot = p10[ch] * (256 - wx) + p11[ch] * wx;
+          dst[((long)y * dw + x) * c + ch] =
+              (uint8_t)((top * (256 - wy) + bot * wy + 32768) >> 16);
+        }
+      }
+    }
+  }
+  return 1;
+}
+
+// Batched variant: n same-shape images back to back.
+int resize_u8_batch(const uint8_t* src, int n, int sh, int sw, int c,
+                    uint8_t* dst, int dh, int dw) {
+  const long in_stride = (long)sh * sw * c;
+  const long out_stride = (long)dh * dw * c;
+  for (int i = 0; i < n; ++i) {
+    if (!resize_u8(src + i * in_stride, sh, sw, c,
+                   dst + i * out_stride, dh, dw))
+      return 0;
+  }
+  return 1;
+}
+
+// Nearest-neighbor for masks (uint8 0/1 or 0/255).
+int resize_nearest_u8(const uint8_t* src, int sh, int sw,
+                      uint8_t* dst, int dh, int dw) {
+  if (!src || !dst || sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0) return 0;
+  for (int y = 0; y < dh; ++y) {
+    int sy = (int)(((long)y * sh) / dh);
+    if (sy >= sh) sy = sh - 1;
+    const uint8_t* row = src + (long)sy * sw;
+    for (int x = 0; x < dw; ++x) {
+      int sx = (int)(((long)x * sw) / dw);
+      if (sx >= sw) sx = sw - 1;
+      dst[(long)y * dw + x] = row[sx];
+    }
+  }
+  return 1;
+}
+
 }  // extern "C"

@@ -75,6 +75,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.prefetch_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_double)]
         lib.prefetch_destroy.argtypes = [ctypes.c_void_p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.resize_u8.restype = ctypes.c_int
+        lib.resize_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, u8p, ctypes.c_int,
+                                  ctypes.c_int]
+        lib.resize_u8_batch.restype = ctypes.c_int
+        lib.resize_u8_batch.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int, u8p,
+                                        ctypes.c_int, ctypes.c_int]
+        lib.resize_nearest_u8.restype = ctypes.c_int
+        lib.resize_nearest_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                          u8p, ctypes.c_int, ctypes.c_int]
         _lib = lib
         logger.info("native runtime loaded: %s", _LIB)
         return _lib
@@ -184,3 +196,62 @@ def read_wav_native(path: str | Path) -> tuple[np.ndarray, int]:
     finally:
         lib.wav_free(out)
     return data, rate.value
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def resize_image(image: np.ndarray, height: int, width: int) -> np.ndarray:
+    """uint8 HWC resize in C++ (area-average down, bilinear up).
+
+    Falls back to PIL when the native library is unavailable."""
+    lib = _load()
+    image = np.ascontiguousarray(image, np.uint8)
+    if image.ndim == 2:
+        image = image[..., None]
+    if lib is None:
+        from PIL import Image
+
+        arr = image[..., 0] if image.shape[-1] == 1 else image
+        out = np.asarray(Image.fromarray(arr).resize(
+            (width, height), Image.BILINEAR))
+        return out if out.ndim == 3 else out[..., None]
+    sh, sw, c = image.shape
+    out = np.empty((height, width, c), np.uint8)
+    if not lib.resize_u8(_as_u8p(image), sh, sw, c,
+                         _as_u8p(out), height, width):
+        raise ValueError("resize_u8 failed")
+    return out
+
+
+def resize_batch(images: np.ndarray, height: int, width: int) -> np.ndarray:
+    """uint8 [N, H, W, C] → [N, height, width, C], one C++ call."""
+    lib = _load()
+    images = np.ascontiguousarray(images, np.uint8)
+    n, sh, sw, c = images.shape
+    if lib is None:
+        return np.stack([resize_image(img, height, width)
+                         for img in images])
+    out = np.empty((n, height, width, c), np.uint8)
+    if not lib.resize_u8_batch(_as_u8p(images), n, sh, sw, c,
+                               _as_u8p(out), height, width):
+        raise ValueError("resize_u8_batch failed")
+    return out
+
+
+def resize_mask(mask: np.ndarray, height: int, width: int) -> np.ndarray:
+    """bool [H, W] → bool [height, width], nearest-neighbor in C++."""
+    lib = _load()
+    if lib is None:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(
+            mask.astype(np.uint8) * 255
+        ).resize((width, height), Image.NEAREST)) > 127
+    src = np.ascontiguousarray(mask, np.uint8)
+    out = np.empty((height, width), np.uint8)
+    if not lib.resize_nearest_u8(_as_u8p(src), src.shape[0], src.shape[1],
+                                 _as_u8p(out), height, width):
+        raise ValueError("resize_nearest_u8 failed")
+    return out.astype(bool)

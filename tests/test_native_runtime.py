@@ -111,3 +111,48 @@ class TestNativeWav:
         path.write_bytes(b"not a wav")
         with pytest.raises(ValueError):
             read_wav_native(path)
+
+
+class TestNativeResize:
+    def test_resize_down_preserves_mean(self):
+        from gvl_tpu.runtime.native import resize_image
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
+        out = resize_image(img, 256, 256)
+        assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+        # area-average downscale preserves the global mean closely
+        assert abs(float(out.mean()) - float(img.mean())) < 2.0
+
+    def test_resize_up_bilinear_smooth(self):
+        from gvl_tpu.runtime.native import resize_image
+
+        ramp = np.tile(np.arange(0, 64, dtype=np.uint8)[None, :, None] * 4,
+                       (16, 1, 3))
+        up = resize_image(ramp, 64, 256)
+        # a horizontal ramp stays monotonic when upscaled bilinearly
+        rows = up[8, :, 0].astype(int)
+        assert (np.diff(rows) >= -1).all()
+        assert rows[-1] > rows[0]
+
+    def test_resize_batch_matches_single(self):
+        from gvl_tpu.runtime.native import resize_batch, resize_image
+
+        rng = np.random.RandomState(1)
+        batch = rng.randint(0, 255, (3, 48, 64, 3)).astype(np.uint8)
+        out = resize_batch(batch, 32, 32)
+        for i in range(3):
+            np.testing.assert_array_equal(
+                out[i], resize_image(batch[i], 32, 32))
+
+    def test_resize_mask_roundtrip(self):
+        from gvl_tpu.runtime.native import resize_mask
+
+        mask = np.zeros((64, 64), bool)
+        mask[16:48, 8:40] = True
+        big = resize_mask(mask, 480, 640)
+        assert big.shape == (480, 640) and big.dtype == bool
+        # nearest-neighbor keeps the filled-area fraction
+        assert abs(big.mean() - mask.mean()) < 0.02
+        small = resize_mask(big, 64, 64)
+        assert (small == mask).mean() > 0.97
