@@ -149,6 +149,27 @@ class InferenceService:
             logger.debug("could not size session bound from HBM",
                          exc_info=True)
 
+    def metrics(self) -> dict:
+        """Serving observability: engine counters + TTFT percentiles +
+        session/video occupancy (``GET /metrics``)."""
+        out: dict = {
+            "videos_loaded": len(self._videos),
+            "chat_sessions": len(self._sessions),
+            "max_sessions": self.max_sessions,
+        }
+        if self._engine_server is not None:
+            out["engine"] = self._engine_server.stats()
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            if stats:
+                out["device_bytes_in_use"] = stats.get("bytes_in_use")
+                out["device_bytes_limit"] = stats.get("bytes_limit")
+        except Exception:
+            pass
+        return out
+
     def _prompt_ids(self, body: dict) -> list[int]:
         if "prompt_ids" in body:
             return [int(t) for t in body["prompt_ids"]]
@@ -285,6 +306,8 @@ def _make_handler(service: InferenceService):
             try:
                 if parsed.path == "/health":
                     self._json(200, service.health())
+                elif parsed.path == "/metrics":
+                    self._json(200, service.metrics())
                 elif parsed.path == "/status":
                     self._json(200, service.status())
                 elif parsed.path == "/timeline":

@@ -12,6 +12,8 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
+from collections import deque
 from typing import Iterator, Optional
 
 logger = logging.getLogger(__name__)
@@ -48,9 +50,42 @@ class EngineServer:
         self._poll_interval = poll_interval
         self._wake = threading.Event()
         self._stop = threading.Event()
+        # observability (read via stats(); written under _lock or by the
+        # single driver thread)
+        self._submitted = 0
+        self._completed = 0
+        self._failed = 0
+        self._tokens_out = 0
+        self._steps = 0
+        self._submit_time: dict[int, float] = {}
+        self._ttft_ms: deque[float] = deque(maxlen=256)
+        self._started = time.time()
         self._driver = threading.Thread(
             target=self._drive, daemon=True, name="engine-driver")
         self._driver.start()
+
+    def stats(self) -> dict:
+        """Serving counters + TTFT percentiles (for ``GET /metrics``)."""
+        with self._lock:
+            ttft = sorted(self._ttft_ms)
+            pct = (lambda p: round(ttft[int(p * (len(ttft) - 1))], 1)
+                   if ttft else None)
+            return {
+                "requests_submitted": self._submitted,
+                "requests_completed": self._completed,
+                "requests_failed": self._failed,
+                "requests_in_flight": len(self._streams),
+                "tokens_generated": self._tokens_out,
+                "decode_steps": self._steps,
+                "slots_total": getattr(self.engine, "num_slots", None),
+                "slots_busy": sum(
+                    r is not None
+                    for r in getattr(self.engine, "_slot_req", [])),
+                "ttft_ms_p50": pct(0.50),
+                "ttft_ms_p90": pct(0.90),
+                "ttft_ms_p99": pct(0.99),
+                "uptime_s": round(time.time() - self._started, 1),
+            }
 
     # -------------------------------------------------------------- public
 
@@ -68,6 +103,8 @@ class EngineServer:
             request_id = self.engine.submit(prompt_ids, max_new_tokens,
                                             session_key=session_key)
             self._streams[request_id] = stream
+            self._submitted += 1
+            self._submit_time[request_id] = time.time()
         self._wake.set()
 
         def tokens():
@@ -98,6 +135,8 @@ class EngineServer:
             request_id = self.engine.submit(prompt_ids, max_new_tokens,
                                             session_key=session_key)
             self._streams[request_id] = stream
+            self._submitted += 1
+            self._submit_time[request_id] = time.time()
         self._wake.set()
         tokens: list[int] = []
         while True:
@@ -140,6 +179,8 @@ class EngineServer:
                     for request_id in list(self._streams):
                         self._streams.pop(request_id).put(failure)
                         sent.pop(request_id, None)
+                        self._failed += 1
+                        self._submit_time.pop(request_id, None)
                         request = self.engine._requests.get(request_id)
                         if request is not None:
                             request.done = True
@@ -147,15 +188,24 @@ class EngineServer:
                                 self.engine._slot_req[request.slot] = None
                                 request.slot = None
                     continue
+                self._steps += 1
                 # flush newly-recorded tokens to each request's stream
                 for request_id in list(self._streams):
                     request = self.engine._requests[request_id]
                     stream = self._streams[request_id]
                     already = sent.get(request_id, 0)
-                    for token in request.tokens[already:]:
+                    fresh = request.tokens[already:]
+                    if fresh and already == 0:
+                        t0 = self._submit_time.pop(request_id, None)
+                        if t0 is not None:
+                            self._ttft_ms.append((time.time() - t0) * 1e3)
+                    for token in fresh:
                         stream.put(token)
+                    self._tokens_out += len(fresh)
                     sent[request_id] = len(request.tokens)
                     if request.done:
                         stream.put(_DONE)
                         self._streams.pop(request_id)
                         sent.pop(request_id, None)
+                        self._submit_time.pop(request_id, None)
+                        self._completed += 1

@@ -563,3 +563,49 @@ class TestServiceSessionLRU:
             {"max_new_tokens": 10**9}) == MAX_NEW_TOKENS_LIMIT
         with pytest.raises(ValueError):
             _max_new_tokens({"max_new_tokens": 0})
+
+
+class TestMetricsEndpoint:
+    def test_engine_stats_counters(self):
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+        from gvl_tpu.serving.batch_engine import ContinuousBatchingEngine
+        from gvl_tpu.serving.engine_server import EngineServer
+
+        cfg = Qwen3Config.tiny(max_cache_length=64)
+        model = Qwen3Model(cfg)
+        variables = {"params": model.init(
+            _jax.random.PRNGKey(0), _jnp.zeros((1, 8), _jnp.int32))["params"]}
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=_jnp.float32, temperature=0.0)
+        server = EngineServer(engine)
+        out = server.generate([7, 3, 99], max_new_tokens=4)
+        stats = server.stats()
+        server.shutdown()
+        assert len(out) == 4
+        assert stats["requests_submitted"] == 1
+        assert stats["requests_completed"] == 1
+        assert stats["requests_failed"] == 0
+        assert stats["tokens_generated"] >= 4
+        assert stats["decode_steps"] >= 1
+        assert stats["slots_total"] == 2
+        assert stats["ttft_ms_p50"] is not None and stats["ttft_ms_p50"] > 0
+
+    def test_service_metrics_shape(self):
+        import threading
+
+        from gvl_tpu.serving.api import InferenceService
+
+        service = InferenceService.__new__(InferenceService)
+        service._videos = {}
+        service._sessions = {"a": object()}
+        service.max_sessions = 64
+        service._engine_server = None
+        service._session_lock = threading.Lock()
+        doc = service.metrics()
+        assert doc["videos_loaded"] == 0
+        assert doc["chat_sessions"] == 1
+        assert "engine" not in doc
