@@ -86,8 +86,11 @@ class PerceptionConfig:
     sam3_fps: float = 0.5        # segmenter runs at a lower rate than fps
     # "auto": JAX model when sam_checkpoint exists, else deterministic
     # fake; "jax": always the Flax segmenter (random-init if no
-    # checkpoint); "fake": always the hash-seeded stand-in
+    # checkpoint); "open_vocab": SAM proposals × SigLIP text scoring
+    # from HF checkpoint dirs (sam_vit_dir + siglip_checkpoint);
+    # "fake": always the hash-seeded stand-in
     sam_backend: str = "auto"
+    sam_vit_dir: Optional[str] = None   # local HF sam-vit-* directory
     sam_checkpoint: Optional[str] = "outputs/sam_params.npz"
 
     # region semantic encoder (SigLIP2-class)

@@ -155,6 +155,20 @@ def build_segmenter(config, mesh=None):
 
     p = config.perception
     backend = getattr(p, "sam_backend", "auto")
+    if backend == "open_vocab":
+        sam_dir = _resolve_checkpoint(getattr(p, "sam_vit_dir", None))
+        siglip_dir = _resolve_checkpoint(
+            getattr(p, "siglip_checkpoint", None))
+        if sam_dir and siglip_dir:
+            from gvl_tpu.perception.open_vocab import (
+                create_open_vocab_segmenter,
+            )
+
+            return create_open_vocab_segmenter(sam_dir, siglip_dir)
+        logger.warning(
+            "sam_backend='open_vocab' needs sam_vit_dir + "
+            "siglip_checkpoint directories; falling back to 'auto'")
+        backend = "auto"
     ckpt = _resolve_checkpoint(getattr(p, "sam_checkpoint", None))
     if backend == "jax" or (backend == "auto" and ckpt):
         return create_sam_segmenter(
