@@ -23,7 +23,7 @@ from gvl_tpu.serving import create_server
 
 
 def _attach_llm(service, checkpoint: str, num_slots: int,
-                int8: bool = False) -> None:
+                int8: bool = False, tp: int = 1) -> None:
     """Load an HF Qwen3 checkpoint and serve it through the shared
     continuous-batching engine (``POST /generate``).
 
@@ -45,6 +45,15 @@ def _attach_llm(service, checkpoint: str, num_slots: int,
         model = Qwen3Model(dataclasses.replace(
             model.config, quant_int8=True, lora_rank=0))
         variables = {"params": qparams}
+    if tp > 1:
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        mesh = build_mesh(data=1, model=tp)
+        variables = {"params": shard_pytree(
+            variables["params"], mesh, LLM_RULES)}
+        logging.getLogger(__name__).info(
+            "LLM tensor-parallel over %s", dict(mesh.shape))
     try:
         tokenizer = AutoTokenizer.from_pretrained(checkpoint)
     except Exception:  # weights-only checkpoint: serve prompt_ids
@@ -85,13 +94,17 @@ def main(argv=None) -> int:
                         help="weight-only int8 quantize the LLM after "
                              "load (halves decode HBM traffic; 8B fits "
                              "one v5e chip)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard the LLM over "
+                             "this many devices (megatron partition specs "
+                             "over the model mesh axis)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
     server = create_server(args.host, args.port, load_preset(args.preset))
     if args.llm_checkpoint:
         _attach_llm(server.service, args.llm_checkpoint, args.num_slots,
-                    int8=args.int8)
+                    int8=args.int8, tp=args.tp)
     logging.getLogger(__name__).info(
         "serving on %s:%d", args.host, args.port)
     server.serve_forever()

@@ -345,3 +345,29 @@ class TestInt8Engine:
         results = engine.generate_many(PROMPTS[:2], max_new_tokens=4)
         assert all(len(r) == 4 for r in results)
         assert all(0 <= t < cfg.vocab_size for r in results for t in r)
+
+
+class TestTPBatchEngine:
+    def test_tp_int8_batching_matches_unsharded(self, model_setup):
+        """The deploy_api --tp --int8 glue: sharded int8 params through
+        the continuous-batching engine equal the unsharded engine."""
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import quantize_int8
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        cfg, variables = model_setup
+        qparams = quantize_int8(variables["params"], cfg)
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+        ref = ContinuousBatchingEngine(
+            cfg_q, {"params": qparams}, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        expected = ref.generate_many(PROMPTS[:2], max_new_tokens=4)
+
+        mesh = build_mesh(data=1, model=8)
+        sharded = {"params": shard_pytree(qparams, mesh, LLM_RULES)}
+        tp = ContinuousBatchingEngine(
+            cfg_q, sharded, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        assert tp.generate_many(PROMPTS[:2], max_new_tokens=4) == expected
