@@ -13,6 +13,7 @@ environments without yt-dlp/ffmpeg get a clear actionable error.
 from __future__ import annotations
 
 import logging
+import os
 import re
 import shutil
 import subprocess
@@ -107,7 +108,9 @@ def ffmpeg_to_y4m(
             "opencv-python / imageio-ffmpeg for the fallback paths)")
     video_path = Path(video_path)
     if out_path is None:
-        out_path = Path(tempfile.mkstemp(suffix=".y4m")[1])
+        fd, tmp = tempfile.mkstemp(suffix=".y4m")
+        os.close(fd)   # ffmpeg reopens by name; keep no fd of our own
+        out_path = Path(tmp)
     cmd = ["ffmpeg", "-y", "-v", "error", "-i", str(video_path)]
     if fps:
         cmd += ["-vf", f"fps={fps}"]
@@ -166,7 +169,9 @@ def decode_codec_video(
                 out.append((i / src_fps, np.asarray(frame)))
                 if max_frames and len(out) >= max_frames:
                     break
-        return out
+        if out:
+            return out
+        errors.append("imageio: decoded zero frames")
     except Exception as exc:
         errors.append(f"imageio: {exc}")
 

@@ -170,14 +170,14 @@ class SyntheticVideo:
     def num_frames(self) -> int:
         return int(self.duration * self.fps)
 
-    # concept → (shape, RGB) signatures matching the trained segmenter's
-    # synthetic domain (gvl_tpu.training.segmenter_train.CONCEPT_SPECS)
-    _CONCEPT_SPECS = {
-        "player": ("square", (60, 90, 220)),
-        "enemy": ("triangle", (220, 60, 50)),
-        "boss": ("ellipse", (160, 60, 200)),
-        "item": ("diamond", (230, 200, 50)),
-    }
+    @property
+    def _CONCEPT_SPECS(self):
+        # single source of truth: the signatures the shipped segmenter
+        # checkpoint was trained on (drift here would silently break the
+        # concept_demo end-to-end path)
+        from gvl_tpu.training.segmenter_train import CONCEPT_SPECS
+
+        return CONCEPT_SPECS
 
     def _concept_frame(self, index: int) -> np.ndarray:
         """`concept_demo` scene: entities drawn with the signatures the

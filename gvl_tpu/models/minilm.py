@@ -234,11 +234,16 @@ class MiniLMSentenceEncoder:
         return ((n + self.BUCKETS[-1] - 1)
                 // self.BUCKETS[-1]) * self.BUCKETS[-1]
 
+    # sentence-transformers' all-MiniLM-L6-v2 recipe truncates at 256
+    # wordpieces (the BERT position table allows 512)
+    MAX_TOKENS = 256
+
     def encode(self, texts) -> np.ndarray:
         texts = list(texts)
         if not texts:
             return np.zeros((0, self.model.config.hidden_size), np.float32)
-        ids, mask = self._tokenize(texts, 64)
+        max_len = min(self.model.config.max_position, self.MAX_TOKENS)
+        ids, mask = self._tokenize(texts, max_len)
         n = len(texts)
         padded = self._bucket(n)
         if padded != n:  # static batch buckets: compile once per bucket

@@ -209,16 +209,12 @@ class PromptableSegmenter(nn.Module):
 # --------------------------------------------------------------------------
 
 def save_segmenter_npz(variables: dict, path) -> None:
-    from flax.traverse_util import flatten_dict
+    from gvl_tpu.utils.checkpoints import save_flat_npz
 
-    flat = {"/".join(k): np.asarray(v)
-            for k, v in flatten_dict(variables).items()}
-    np.savez(path, **flat)
+    save_flat_npz(variables, path)
 
 
 def load_segmenter_npz(path) -> dict:
-    from flax.traverse_util import unflatten_dict
+    from gvl_tpu.utils.checkpoints import load_flat_npz
 
-    with np.load(path) as data:
-        flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data}
-    return unflatten_dict(flat)
+    return load_flat_npz(path)

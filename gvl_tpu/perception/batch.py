@@ -37,15 +37,9 @@ def _resolve_checkpoint(path) -> Optional[str]:
     """Checkpoint path as given, else relative to the repo root (presets
     use repo-relative defaults like ``outputs/sam_params.npz`` that must
     resolve from any CWD)."""
-    from pathlib import Path
+    from gvl_tpu.utils.checkpoints import resolve_repo_path
 
-    if not path:
-        return None
-    p = Path(path)
-    if p.exists():
-        return str(p)
-    rooted = Path(__file__).resolve().parents[2] / p
-    return str(rooted) if rooted.exists() else None
+    return resolve_repo_path(path)
 
 
 def run_batched_perception(
@@ -182,6 +176,8 @@ def build_siglip_encoder(config, mesh=None):
 
     p = config.perception
     backend = getattr(p, "siglip_backend", "auto")
+    if backend == "fake":     # explicit fake always wins (CPU CI, smoke)
+        return SigLIPSemanticEncoder()
     ckpt = _resolve_checkpoint(getattr(p, "siglip_checkpoint", None))
     if ckpt:
         return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt, mesh=mesh)

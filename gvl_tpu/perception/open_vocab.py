@@ -63,6 +63,11 @@ class OpenVocabSamBackend:
         self.max_proposals = max_proposals
         self._text_cache: dict[tuple[str, ...], np.ndarray] = {}
 
+        from gvl_tpu.perception.semantic import NaFlexConfig, RegionExtractor
+
+        self._naflex = NaFlexConfig()
+        self._extractor = RegionExtractor(self._naflex)
+
         from gvl_tpu.models.sam_vit import sam_predict
 
         size = sam_config.image_size
@@ -169,7 +174,7 @@ class OpenVocabSamBackend:
     def __call__(self, frames, concepts, frame_indices):
         import jax.numpy as jnp
 
-        from gvl_tpu.runtime.native import resize_image
+        from gvl_tpu.runtime.native import resize_image, resize_mask
 
         size = self.sam_config.image_size
         batch = np.stack([
@@ -197,8 +202,6 @@ class OpenVocabSamBackend:
             regions, full_masks = [], []
             for j in kept:
                 small = prop_masks[fi, j]
-                from gvl_tpu.runtime.native import resize_mask
-
                 mask = resize_mask(small, h, w)
                 ys, xs = np.where(mask)
                 if len(xs) == 0:
@@ -210,12 +213,17 @@ class OpenVocabSamBackend:
                                     float(xs.max()), float(ys.max()))))
             per_frame = [[] for _ in concepts]
             if regions:
-                from gvl_tpu.perception.semantic import NaFlexConfig, RegionExtractor
-
-                extractor = RegionExtractor(NaFlexConfig())
-                prepared = np.stack([
-                    extractor.prepare(r, 224)[0] for r in regions])
-                _, pooled = self.vision_backend(prepared)
+                res = self._naflex.region_resolution
+                prepared = [self._extractor.prepare(r, res)[0]
+                            for r in regions]
+                n = len(prepared)
+                # bucket-pad so the jitted tower compiles once per bucket
+                # (not once per distinct proposal count)
+                bucket = next((b for b in (1, 4, 8, self.max_proposals)
+                               if n <= b), n)
+                prepared += [np.zeros_like(prepared[0])] * (bucket - n)
+                _, pooled = self.vision_backend(np.stack(prepared))
+                pooled = pooled[:n]
                 emb = pooled / np.maximum(
                     np.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
                 scores = emb @ text_emb.T               # [R, C]

@@ -478,8 +478,37 @@ def create_sam_segmenter(
     if use_model or checkpoint:
         variables = None
         if checkpoint:
-            from gvl_tpu.models.sam import load_segmenter_npz
+            # stale/corrupt/mismatched artifacts must not take down every
+            # default-preset perception run — validate against the model
+            # geometry and fall back to random init on any problem
+            try:
+                import jax
+                import jax.numpy as jnp
 
-            variables = load_segmenter_npz(checkpoint)
+                from gvl_tpu.models.sam import (
+                    PromptableSegmenter,
+                    SamConfig,
+                    load_segmenter_npz,
+                )
+
+                loaded = load_segmenter_npz(checkpoint)
+                model = PromptableSegmenter(
+                    SamConfig(image_size=config.image_size))
+                expected = jax.eval_shape(
+                    lambda: model.init(
+                        jax.random.PRNGKey(0),
+                        jnp.zeros((1, config.image_size,
+                                   config.image_size, 3)),
+                        jnp.zeros((1, 16), jnp.int32)))
+                mismatch = jax.tree_util.tree_all(jax.tree.map(
+                    lambda a, b: tuple(a.shape) == tuple(b.shape),
+                    expected, loaded))
+                if not bool(mismatch):
+                    raise ValueError("checkpoint geometry mismatch")
+                variables = loaded
+            except Exception as exc:
+                logger.warning(
+                    "segmenter checkpoint %s unusable (%s); random init",
+                    checkpoint, exc)
         backend = JaxSegmenterBackend(config, variables=variables, mesh=mesh)
     return SAMConceptSegmenter(config, backend=backend)

@@ -73,31 +73,13 @@ class ContinuousBatchingEngine:
         self._sampling = (float(temperature), float(top_p), int(top_k))
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        slot_shape = (num_slots, config.num_kv_heads,
-                      config.max_cache_length, config.head_dim)
-        if config.scan_layers:  # one stacked [L, slots, ...] array per side
-            self.cache = KVCache(
-                k=jnp.zeros((config.num_layers, *slot_shape), dtype),
-                v=jnp.zeros((config.num_layers, *slot_shape), dtype),
-                length=jnp.zeros((num_slots,), jnp.int32),
-            )
-        else:
-            self.cache = KVCache(
-                k=tuple(jnp.zeros(slot_shape, dtype)
-                        for _ in range(config.num_layers)),
-                v=tuple(jnp.zeros(slot_shape, dtype)
-                        for _ in range(config.num_layers)),
-                length=jnp.zeros((num_slots,), jnp.int32),
-            )
-        self._last_token = np.zeros((num_slots,), np.int32)
-        self._slot_req: list[Optional[Request]] = [None] * num_slots
+        self.reset_cache()   # builds cache + per-slot state
         self._queue: list[Request] = []
         self._requests: dict[int, Request] = {}
         self._ids = itertools.count()
-        # per-slot prefix caching: tokens whose K/V live in each slot,
-        # and (for idle slots) which session last owned the slot
-        self._slot_cached: list[list[int]] = [[] for _ in range(num_slots)]
-        self._slot_session: list[Optional[str]] = [None] * num_slots
+        # (reset_cache also maintains the per-slot prefix-cache state:
+        # tokens whose K/V live in each slot, and — for idle slots —
+        # which session last owned the slot)
         self._slot_last_used: list[int] = [0] * num_slots
         self._ticks = 0
 
@@ -246,6 +228,9 @@ class ContinuousBatchingEngine:
         already caches a prefix of the prompt)."""
         while self._queue:
             request = self._queue[0]
+            if request.done:    # failed/cancelled while queued
+                self._queue.pop(0)
+                continue
             slot = self._pick_slot(request)
             if slot is None:
                 return
@@ -258,6 +243,19 @@ class ContinuousBatchingEngine:
                      and prompt[:len(cached)] == cached
                      and len(prompt) + request.max_new_tokens + 1
                      <= self.config.max_cache_length)
+            if reuse:
+                # the delta prefill WRITES a full bucket at the cache
+                # offset; if offset + bucket overruns S_max the
+                # dynamic_update_slice start clamps and corrupts the
+                # cached prefix — fall back to a fresh full prefill
+                # (offset 0 always fits: prompt < S_max by the submit
+                # check and buckets cap at S_max)
+                trial_cached = cached if prompt[len(cached):] \
+                    else cached[:-1]
+                trial_delta_len = len(prompt) - len(trial_cached)
+                if (len(trial_cached) + self._bucket(trial_delta_len)
+                        > self.config.max_cache_length):
+                    reuse = False
             if not reuse:
                 # fresh slot: offset 0 (stale rows are masked + overwritten)
                 self.cache = self.cache._replace(
@@ -286,6 +284,39 @@ class ContinuousBatchingEngine:
             self._ticks += 1
             self._slot_last_used[slot] = self._ticks
             self._record_token(request, int(token))
+
+    def reset_cache(self) -> None:
+        """Rebuild the KV cache and slot state from scratch.
+
+        The recovery path after a runtime device failure: jitted calls
+        donate the cache buffers, so a call that fails AFTER dispatch may
+        leave ``self.cache`` pointing at deleted buffers — every further
+        step would raise. Rebuilding loses all cached prefixes (sessions
+        transparently re-prefill) but restores a serving-capable engine.
+        """
+        cfg = self.config
+        dtype = self._dtype
+        slot_shape = (self.num_slots, cfg.num_kv_heads,
+                      cfg.max_cache_length, cfg.head_dim)
+        if cfg.scan_layers:
+            self.cache = KVCache(
+                k=jnp.zeros((cfg.num_layers, *slot_shape), dtype),
+                v=jnp.zeros((cfg.num_layers, *slot_shape), dtype),
+                length=jnp.zeros((self.num_slots,), jnp.int32),
+            )
+        else:
+            self.cache = KVCache(
+                k=tuple(jnp.zeros(slot_shape, dtype)
+                        for _ in range(cfg.num_layers)),
+                v=tuple(jnp.zeros(slot_shape, dtype)
+                        for _ in range(cfg.num_layers)),
+                length=jnp.zeros((self.num_slots,), jnp.int32),
+            )
+        self._slot_req: list[Optional[Request]] = [None] * self.num_slots
+        self._slot_cached: list[list[int]] = [
+            [] for _ in range(self.num_slots)]
+        self._slot_session: list[Optional[str]] = [None] * self.num_slots
+        self._last_token = np.zeros((self.num_slots,), np.int32)
 
     def _record_token(self, request: Request, token: int) -> None:
         if token == self.eos_token_id:

@@ -187,6 +187,14 @@ class EngineServer:
                             if request.slot is not None:
                                 self.engine._slot_req[request.slot] = None
                                 request.slot = None
+                    # jitted calls donate the KV buffers: a failure AFTER
+                    # dispatch may leave the cache pointing at deleted
+                    # buffers, poisoning every later step — rebuild it
+                    # (sessions lose their prefixes and re-prefill)
+                    try:
+                        self.engine.reset_cache()
+                    except Exception:
+                        logger.exception("engine cache rebuild failed")
                     continue
                 self._steps += 1
                 # flush newly-recorded tokens to each request's stream

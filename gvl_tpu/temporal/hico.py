@@ -339,27 +339,18 @@ def create_hico_module(
 # --------------------------------------------------------------------------
 
 def _resolve_checkpoint(path) -> Optional[str]:
-    """Path as given, else relative to the repo root."""
-    from pathlib import Path
+    from gvl_tpu.utils.checkpoints import resolve_repo_path
 
-    p = Path(path)
-    if p.exists():
-        return str(p)
-    rooted = Path(__file__).resolve().parents[2] / p
-    return str(rooted) if rooted.exists() else None
+    return resolve_repo_path(path)
 
 
 def save_hico_npz(variables: dict, path) -> None:
-    from flax.traverse_util import flatten_dict
+    from gvl_tpu.utils.checkpoints import save_flat_npz
 
-    flat = {"/".join(k): np.asarray(v)
-            for k, v in flatten_dict(variables).items()}
-    np.savez(path, **flat)
+    save_flat_npz(variables, path)
 
 
 def load_hico_npz(path) -> dict:
-    from flax.traverse_util import unflatten_dict
+    from gvl_tpu.utils.checkpoints import load_flat_npz
 
-    with np.load(path) as data:
-        flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data}
-    return unflatten_dict(flat)
+    return load_flat_npz(path)

@@ -371,3 +371,58 @@ class TestTPBatchEngine:
             cfg_q, sharded, eos_token_id=-1, num_slots=2,
             dtype=jnp.float32, temperature=0.0)
         assert tp.generate_many(PROMPTS[:2], max_new_tokens=4) == expected
+
+
+class TestDeltaBucketOverflow:
+    def test_reuse_falls_back_when_bucket_overruns_cache(self, model_setup):
+        """A returning session whose delta bucket would write past S_max
+        must take a fresh full prefill (not corrupt the cached prefix) —
+        and still produce exactly the right continuation."""
+        cfg, variables = model_setup          # S_max = 64
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=1,
+            dtype=jnp.float32, temperature=0.0)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=4,
+                             session_key="s")
+        out1 = engine.run()[rid1]
+        # delta of 33 buckets to 64; offset 7 + 64 > 64 → must NOT reuse
+        transcript = PROMPTS[0] + out1 + list(range(10, 43))
+        assert len(transcript) - (len(PROMPTS[0]) + len(out1)) == 33
+        rid2 = engine.submit(transcript, max_new_tokens=4,
+                             session_key="s")
+        out2 = engine.run()[rid2]
+        # fresh full prefill (no delta reuse)
+        assert engine._requests[rid2].prefilled == len(transcript)
+        expected = Qwen3Engine(
+            cfg, variables, eos_token_id=-1, dtype=jnp.float32
+        ).generate(transcript, max_new_tokens=4, temperature=0.0)
+        assert out2 == expected
+
+    def test_small_delta_still_reuses(self, model_setup):
+        cfg, variables = model_setup
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=1,
+            dtype=jnp.float32, temperature=0.0)
+        rid1 = engine.submit(PROMPTS[0], max_new_tokens=4,
+                             session_key="s")
+        out1 = engine.run()[rid1]
+        transcript = PROMPTS[0] + out1 + [9]
+        rid2 = engine.submit(transcript, max_new_tokens=4,
+                             session_key="s")
+        engine.run()
+        assert engine._requests[rid2].prefilled < len(transcript)
+
+
+class TestCacheRecovery:
+    def test_reset_cache_restores_serving(self, model_setup):
+        """reset_cache() rebuilds a serving-capable engine (the driver's
+        recovery path after donated buffers are lost)."""
+        cfg, variables = model_setup
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        expected = engine.generate_many(PROMPTS[:2], max_new_tokens=4)
+        # simulate a poisoned cache
+        engine.reset_cache()
+        assert engine.generate_many(PROMPTS[:2],
+                                    max_new_tokens=4) == expected
