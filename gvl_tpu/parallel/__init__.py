@@ -11,6 +11,7 @@ from gvl_tpu.parallel.mesh import (
     MODEL_AXIS,
     MeshManager,
     build_mesh,
+    init_distributed,
     local_device_count,
 )
 from gvl_tpu.parallel.sharding import (
@@ -25,6 +26,7 @@ __all__ = [
     "MODEL_AXIS",
     "MeshManager",
     "build_mesh",
+    "init_distributed",
     "local_device_count",
     "ShardingRules",
     "named_sharding",

@@ -81,6 +81,49 @@ def build_mesh(
     return Mesh(grid, axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-host JAX (ICI within a slice, DCN across hosts).
+
+    Safe to call unconditionally: a single-process run (no coordinator
+    configured and no TPU pod environment) is a no-op returning False.
+    On Cloud TPU pods all three arguments auto-detect from the metadata
+    service, so ``init_distributed()`` alone suffices; elsewhere pass
+    them or set ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``.  After initialization ``jax.devices()`` spans
+    every host, and :func:`build_mesh` lays the (data, model) axes over
+    the global device set — model axes should stay within a slice so TP
+    collectives ride ICI, with the data axis crossing DCN.
+    """
+    import os
+
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    num_processes = num_processes if num_processes is not None else (
+        int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_NUM_PROCESSES" in os.environ else None)
+    process_id = process_id if process_id is not None else (
+        int(os.environ["JAX_PROCESS_ID"])
+        if "JAX_PROCESS_ID" in os.environ else None)
+    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS")
+    if coordinator_address is None and not on_pod:
+        logger.debug("single-process run; jax.distributed not initialized")
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d global devices",
+        jax.process_index(), jax.process_count(), len(jax.devices()))
+    return True
+
+
 class MeshManager:
     """Owns the framework's mesh and hands out shardings.
 

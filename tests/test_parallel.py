@@ -205,3 +205,13 @@ class TestInt8TPSharding:
                          dtype=jnp.float32)
         assert tp.generate([7, 3, 99], max_new_tokens=6,
                            temperature=0.0) == expected
+
+
+class TestInitDistributed:
+    def test_single_process_noop(self, monkeypatch):
+        from gvl_tpu.parallel import init_distributed
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        assert init_distributed() is False  # no coordinator: no-op
