@@ -106,14 +106,21 @@ def make_scene(
             _draw(kind, frame, m, cx, cy, r, color)
             gt_masks[ci, i] = m
             gt_valid[ci, i] = True
-    # distractors: gray circles that belong to no concept
+    # distractors: gray circles that belong to no concept — drawn OVER
+    # the entities so some instances are partially occluded (the GT mask
+    # keeps the full extent, teaching amodal robustness)
+    yy, xx = np.mgrid[0:size, 0:size]
     for _ in range(rng.integers(1, 4)):
         lo = max(2, size // 32)
         r = int(rng.integers(lo, max(lo + 2, size // 13)))
         cx, cy = rng.integers(r, size - r, 2)
-        yy, xx = np.mgrid[0:size, 0:size]
         hit = ((xx - cx) ** 2 + (yy - cy) ** 2) <= r * r
         frame[hit] = rng.integers(110, 160, 3).astype(np.uint8)
+    # mild global perturbations: brightness jitter + pixel noise
+    gain = rng.uniform(0.8, 1.2)
+    noise = rng.normal(0, 6, frame.shape)
+    frame = np.clip(frame.astype(np.float32) * gain + noise,
+                    0, 255).astype(np.uint8)
     return frame, gt_masks, gt_valid
 
 

@@ -346,3 +346,38 @@ class TestPromptLookup:
                               rng=jax.random.PRNGKey(5))
         assert len(out) == 10
         assert all(0 <= t < target_cfg.vocab_size for t in out)
+
+
+class TestInt8Target:
+    def test_spec_decode_with_quantized_target(self):
+        """Speculative decoding composes with the int8 serving path:
+        greedy output == plain int8-target greedy."""
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import (
+            Qwen3Config,
+            Qwen3Engine,
+            Qwen3Model,
+            quantize_int8,
+        )
+        from gvl_tpu.models.speculative import SpeculativeEngine
+
+        tcfg = Qwen3Config.tiny(max_cache_length=96)
+        dcfg = Qwen3Config.tiny(num_layers=1, max_cache_length=96)
+        tmodel, dmodel = Qwen3Model(tcfg), Qwen3Model(dcfg)
+        tvars = {"params": tmodel.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]}
+        dvars = {"params": dmodel.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))["params"]}
+
+        tq = {"params": quantize_int8(tvars["params"], tcfg)}
+        tcfg_q = dataclasses.replace(tcfg, quant_int8=True)
+
+        plain = Qwen3Engine(tcfg_q, tq, eos_token_id=-1, dtype=jnp.float32)
+        expected = plain.generate([7, 3, 99], max_new_tokens=8,
+                                  temperature=0.0)
+
+        spec = SpeculativeEngine(tcfg_q, tq, dcfg, dvars, gamma=3,
+                                 eos_token_id=-1, dtype=jnp.float32)
+        got = spec.generate([7, 3, 99], max_new_tokens=8, temperature=0.0)
+        assert got == expected
