@@ -289,6 +289,7 @@ def process_video(
     use_cache: bool = True,
     concepts: list[str] = DEFAULT_CONCEPTS,
     pipelined: bool = False,
+    batched: bool = False,
 ) -> ProcessedVideo:
     """Run (or reload) the full perception stack and build the loop."""
     config = config or load_preset("light")
@@ -313,7 +314,15 @@ def process_video(
                 video_path, fps=config.inference.fps)
         result.timestamps = [t for t, _ in frames]
 
-        if pipelined:
+        if batched:
+            # throughput-oriented: chunked frames×concepts segmentation,
+            # shared region/OCR buckets (gvl_tpu.perception.batch)
+            from gvl_tpu.perception import run_batched_perception
+
+            with timer.stage("batched_perception"):
+                result.siglip_embeddings = run_batched_perception(
+                    frames, config, timeline, kb, concepts)
+        elif pipelined:
             with timer.stage("pipelined_perception"):
                 result.siglip_embeddings = run_pipelined_perception(
                     frames, config, timeline, kb, concepts)
@@ -341,7 +350,7 @@ def process_video(
                 _, result.audio_embeddings = run_audio_analysis(
                     video_path, timeline, config)
 
-        if config.perception.use_ocr and not pipelined:
+        if config.perception.use_ocr and not (pipelined or batched):
             with timer.stage("ocr_extraction"):
                 run_ocr_extraction(frames, timeline, config)
 
@@ -552,6 +561,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     parser.add_argument("--use-sam", action="store_true", default=None)
     parser.add_argument("--no-sam", dest="use_sam", action="store_false")
     parser.add_argument("--no-cache", action="store_true")
+    parser.add_argument("--batched", action="store_true",
+                        help="throughput-oriented batched perception "
+                             "(chunked device programs; best for offline)")
     parser.add_argument("--pipelined", action="store_true",
                         help="stage-parallel perception (segment/semantic/"
                              "OCR workers with bounded queues)")
@@ -571,6 +583,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     processed = process_video(
         args.video, config, use_cache=not args.no_cache,
         concepts=args.concepts, pipelined=args.pipelined,
+        batched=args.batched,
     )
     stats = processed.timeline.get_statistics()
     print(f"\nTimeline: {stats['total_events']} events, "
