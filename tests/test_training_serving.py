@@ -196,7 +196,7 @@ class TestServingAPI:
         assert doc["status"] == "ok"
 
     def test_process_and_query(self, server):
-        video = "synthetic://api_test?duration=8&fps=2"
+        video = "synthetic://api_test?duration=30&fps=2"
         doc = self._post(server + "/process", {"video": video})
         assert doc["timeline"]["total_events"] > 0
         answer = self._post(server + "/query", {
@@ -205,7 +205,7 @@ class TestServingAPI:
         assert answer["turn_count"] >= 2
 
     def test_timeline_endpoint(self, server):
-        video = "synthetic://api_test?duration=8&fps=2"
+        video = "synthetic://api_test?duration=30&fps=2"
         with urllib.request.urlopen(
             server + "/timeline?video=" + urllib.parse.quote(video),
             timeout=120,
