@@ -30,6 +30,16 @@ def setup_jax(cache_dir: str | None = None) -> None:
         or str(Path.home() / ".cache" / "gvl_tpu_xla")
     )
     try:
+        # CPU executables are AOT-compiled for the exact host CPU; cached
+        # blobs break (or spam SIGILL-risk load errors) when the session
+        # migrates hosts, and CPU compiles are cheap anyway.  The cache
+        # exists for the accelerator (a tunnel-attached TPU pays tens of
+        # seconds per compile), so enable it only there.
+        backend = jax.default_backend()
+        if backend not in ("tpu",):
+            logger.debug(
+                "persistent compile cache skipped on %s backend", backend)
+            return
         Path(target).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -152,8 +152,32 @@ def scenario_negative(rng) -> tuple[str, str]:
     return q, a
 
 
+def scenario_tool_call(rng) -> tuple[str, str]:
+    """Teach the <tool_call> protocol: unknown lore → search, then a
+    cited answer (the reference's agentic search loop,
+    `qwen_reasoning_core.py:839-988`)."""
+    boss = rng.choice(ENTITIES)
+    game = rng.choice(["Eternal Depths", "Starfall Arena", "Rune Keep",
+                       "Iron Horizon"])
+    t0 = rng.randrange(30, 400)
+    q = rng.choice([
+        f"What's the best strategy against the {boss}?",
+        f"What drops does the {boss} give in {game}?",
+        f"Is the {boss} weak to anything?",
+    ])
+    a = (
+        f"**Reasoning:** The timeline shows the {boss} engaged at "
+        f"{mmss(t0)}, but strategy and drop information is external game "
+        f"knowledge, not observable in the video — this requires a web "
+        f"search.\n\n"
+        f"<tool_call>search_web(\"{game} {boss} strategy weakness\")"
+        f"</tool_call>"
+    )
+    return q, a
+
+
 SCENARIOS = [scenario_boss, scenario_item, scenario_glitch,
-             scenario_objective, scenario_negative]
+             scenario_objective, scenario_negative, scenario_tool_call]
 
 
 def main(argv=None) -> int:
