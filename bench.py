@@ -240,6 +240,9 @@ def bench_decode_8b() -> dict:
 
 
 def main() -> None:
+    from gvl_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()   # persistent TPU compile cache across driver runs
     tower_fps = bench_siglip_tower()
     extra = {"perception_e2e_fps": round(bench_perception_e2e(), 1)}
     if ON_TPU:
