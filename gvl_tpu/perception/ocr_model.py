@@ -375,17 +375,59 @@ def synth_text(rng: np.random.Generator, charset: str) -> str:
     return "".join(c for c in text if c in charset)
 
 
+_FONT_POOL: Optional[list] = None
+
+
+def discover_fonts() -> list[str]:
+    """Usable TTF text fonts on this system (matplotlib ships DejaVu
+    Sans/Serif/Mono families even when no system fonts exist).  Symbol
+    fonts are filtered by test-rendering digits."""
+    global _FONT_POOL
+    if _FONT_POOL is not None:
+        return _FONT_POOL
+    import glob
+
+    from PIL import Image, ImageDraw, ImageFont
+
+    candidates: list[str] = glob.glob(
+        "/usr/share/fonts/**/*.ttf", recursive=True)
+    try:
+        import matplotlib
+
+        candidates += glob.glob(
+            matplotlib.get_data_path() + "/fonts/ttf/*.ttf")
+    except ImportError:
+        pass
+    pool = []
+    for path in sorted(set(candidates)):
+        try:
+            font = ImageFont.truetype(path, 16)
+            probe = Image.new("L", (64, 24), 0)
+            ImageDraw.Draw(probe).text((2, 2), "0A/:", fill=255, font=font)
+            if np.asarray(probe).max() > 128:   # renders real glyphs
+                pool.append(path)
+        except Exception:
+            continue
+    _FONT_POOL = pool
+    logger.info("OCR training font pool: %d TTF fonts", len(pool))
+    return pool
+
+
 def render_line(text: str, height: int, width: int,
-                font_size: int = 16) -> np.ndarray:
+                font_size: int = 16,
+                font_path: Optional[str] = None) -> np.ndarray:
     """Rendered gray line in [0, 1], left-aligned, zero-padded."""
     from PIL import Image, ImageDraw, ImageFont
 
     img = Image.new("L", (width, height), 0)
     draw = ImageDraw.Draw(img)
-    try:
-        font = ImageFont.load_default(size=font_size)
-    except TypeError:          # older PIL: fixed-size bitmap font
-        font = ImageFont.load_default()
+    if font_path:
+        font = ImageFont.truetype(font_path, font_size)
+    else:
+        try:
+            font = ImageFont.load_default(size=font_size)
+        except TypeError:      # older PIL: fixed-size bitmap font
+            font = ImageFont.load_default()
     draw.text((2, max((height - font_size) // 2 - 2, 0)), text,
               fill=255, font=font)
     return np.asarray(img, np.float32) / 255.0
@@ -404,13 +446,23 @@ def crop_to_input(crop: np.ndarray, config: OCRModelConfig) -> np.ndarray:
 
 def _synth_crop(
     text: str, config: OCRModelConfig, rng: np.random.Generator,
+    use_fonts: bool = False,
 ) -> np.ndarray:
     """Training sample that mimics a detector crop: render at a random
-    font size, tight-crop around the ink with a random margin (the
-    detector's boxes are 4-px quantized), then the shared resize path."""
+    font size IN A RANDOM FONT (game HUDs are stylized — DejaVu/STIX
+    variants stand in for real game typefaces), tight-crop around the
+    ink with a random margin (the detector's boxes are 4-px quantized),
+    apply intensity/background jitter, then the shared resize path."""
     font_size = int(rng.integers(12, 24))
+    font_path = None
+    if use_fonts:
+        pool = discover_fonts()
+        # keep some default-bitmap-font samples in the mix
+        if pool and rng.random() < 0.85:
+            font_path = pool[int(rng.integers(0, len(pool)))]
     line = render_line(text, font_size + 16,
-                       min(font_size * len(text) + 16, 512), font_size)
+                       min(font_size * len(text) + 16, 512), font_size,
+                       font_path=font_path)
     rows = np.nonzero(line.max(1) > 0.2)[0]
     cols = np.nonzero(line.max(0) > 0.2)[0]
     if len(rows) == 0 or len(cols) == 0:
@@ -419,7 +471,13 @@ def _synth_crop(
     mx1, mx2 = int(rng.integers(0, 4)), int(rng.integers(0, 4))
     crop = line[max(rows.min() - my1, 0):rows.max() + 1 + my2,
                 max(cols.min() - mx1, 0):cols.max() + 1 + mx2]
-    return crop_to_input(crop, config)
+    if use_fonts:
+        # photometric jitter: ink gain, background lift, pixel noise
+        gain = float(rng.uniform(0.6, 1.0))
+        bg = float(rng.uniform(0.0, 0.12))
+        crop = np.clip(crop * gain + bg
+                       + rng.normal(0, 0.02, crop.shape), 0.0, 1.0)
+    return crop_to_input(crop.astype(np.float32), config)
 
 
 def train_recognizer(
@@ -431,8 +489,13 @@ def train_recognizer(
     params: Optional[dict] = None,
     max_label_len: int = 16,
     log_every: int = 0,
+    use_fonts: bool = False,
 ) -> dict:
-    """CTC-train the recognizer on synthetic detector-style crops."""
+    """CTC-train the recognizer on synthetic detector-style crops.
+
+    ``use_fonts`` samples random TTF typefaces + photometric jitter
+    (stylized-HUD robustness; needs a larger step budget — the shipped
+    checkpoint trains with it ON, micro-budget tests leave it off)."""
     import optax
 
     model = TextRecognizerNet(config)
@@ -464,7 +527,8 @@ def train_recognizer(
         label_pad = np.ones((batch_size, max_label_len), np.float32)
         for b in range(batch_size):
             text = synth_text(rng, config.charset)[:max_label_len] or "0"
-            images[b, :, :, 0] = _synth_crop(text, config, rng)
+            images[b, :, :, 0] = _synth_crop(text, config, rng,
+                                             use_fonts=use_fonts)
             ids = config.encode(text)
             labels[b, :len(ids)] = ids
             label_pad[b, :len(ids)] = 0.0
@@ -561,3 +625,37 @@ def train_detector(
         if log_every and (i + 1) % log_every == 0:
             logger.info("det step %d loss %.4f", i + 1, float(loss))
     return params
+
+
+def evaluate_recognizer(
+    params: dict,
+    config: Optional[OCRModelConfig] = None,
+    n: int = 200,
+    seed: int = 4321,
+    use_fonts: bool = True,
+) -> dict:
+    """Held-out exact-match accuracy on synthetic detector-style crops
+    (multi-font when ``use_fonts``)."""
+    config = config or OCRModelConfig()
+    model = TextRecognizerNet(config)
+    rng = np.random.default_rng(seed)
+    run = jax.jit(lambda p, x: model.apply(p, x))
+    correct = total = 0
+    batch = 32
+    while total < n:
+        m = min(batch, n - total)
+        images = np.zeros(
+            (batch, config.rec_height, config.rec_width, 1), np.float32)
+        texts = []
+        for b in range(m):
+            text = synth_text(rng, config.charset)[:16] or "0"
+            texts.append(text)
+            images[b, :, :, 0] = _synth_crop(text, config, rng,
+                                             use_fonts=use_fonts)
+        logits = np.asarray(run(params, images))
+        for b in range(m):
+            pred, _ = ctc_greedy_decode(logits[b], config)
+            correct += int(pred == texts[b])
+        total += m
+    return {"exact_match": correct / total, "n": total,
+            "fonts": len(discover_fonts()) if use_fonts else 0}

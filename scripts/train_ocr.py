@@ -54,11 +54,18 @@ def main(argv=None) -> int:
                 args.rec_steps, len(config.charset))
     rec = train_recognizer(
         config, steps=args.rec_steps, batch_size=args.batch_size,
-        learning_rate=args.lr, seed=args.seed, log_every=200)
+        learning_rate=args.lr, seed=args.seed, log_every=200,
+        use_fonts=True)
     logger.info("training detector (%d steps)", args.det_steps)
     det = train_detector(
         config, steps=args.det_steps, batch_size=8,
         learning_rate=args.lr, seed=args.seed + 1, log_every=100)
+    from gvl_tpu.perception.ocr_model import evaluate_recognizer
+
+    for fonts in (False, True):
+        metrics = evaluate_recognizer(rec, config, use_fonts=fonts)
+        logger.info("held-out exact match (%s): %s",
+                    "multi-font" if fonts else "default font", metrics)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     save_ocr_params({"detector": det, "recognizer": rec}, str(out))
