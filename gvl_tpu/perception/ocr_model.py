@@ -457,8 +457,9 @@ def _synth_crop(
     font_path = None
     if use_fonts:
         pool = discover_fonts()
-        # keep some default-bitmap-font samples in the mix
-        if pool and rng.random() < 0.85:
+        # mixed curriculum: keep a solid share of default-bitmap-font
+        # samples (the clean-HUD case is the primary reference workload)
+        if pool and rng.random() < 0.6:
             font_path = pool[int(rng.integers(0, len(pool)))]
     line = render_line(text, font_size + 16,
                        min(font_size * len(text) + 16, 512), font_size,
