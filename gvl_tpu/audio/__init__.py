@@ -8,7 +8,11 @@ from gvl_tpu.audio.processor import (
     AudioEventType,
     AudioPreprocessor,
     AudioProcessor,
+    DeterministicFakeASR,
+    HashAudioEmbedder,
     TranscriptionSegment,
+    Wav2Vec2JaxEmbedder,
+    build_audio_stack,
     create_audio_processor,
 )
 from gvl_tpu.audio.mel import log_mel_spectrogram, mel_filterbank
@@ -22,6 +26,10 @@ __all__ = [
     "AudioPreprocessor",
     "AudioEventParser",
     "AudioProcessor",
+    "DeterministicFakeASR",
+    "HashAudioEmbedder",
+    "Wav2Vec2JaxEmbedder",
+    "build_audio_stack",
     "create_audio_processor",
     "mel_filterbank",
     "log_mel_spectrogram",

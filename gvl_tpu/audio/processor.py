@@ -280,12 +280,16 @@ class WhisperJaxASR:
         )
         self._prompt = jnp.asarray([prompt], jnp.int32)
 
+        # mel is jitted; the cached greedy decode drives its own jitted
+        # step functions from the host (it cannot sit under an outer jit)
+        self._mel = jax.jit(lambda wav: log_mel_spectrogram(wav)[None])
+
         def run(wav):
-            mel = log_mel_spectrogram(wav)[None]
-            return greedy_decode(model, variables, mel, self._prompt,
+            return greedy_decode(model, variables, self._mel(wav),
+                                 self._prompt,
                                  max_new_tokens=max_new_tokens)
 
-        self._run = jax.jit(run)
+        self._run = run
         self._eos = cfg.eos_token_id
 
     def __call__(self, chunk: np.ndarray, sample_rate: int) -> tuple[str, float]:
@@ -435,6 +439,53 @@ class AudioProcessor:
         return AudioEventType.SILENCE
 
 
+class HashAudioEmbedder:
+    """Deterministic fake wav2vec2-style chunk embedder (1024-dim)."""
+
+    def __init__(self, dim: int = 1024):
+        self.dim = dim
+
+    def __call__(self, chunk: np.ndarray, sample_rate: int) -> np.ndarray:
+        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+        rng = np.random.default_rng(int.from_bytes(digest, "little"))
+        return rng.standard_normal(self.dim).astype(np.float32)
+
+
+class Wav2Vec2JaxEmbedder:
+    """Real wav2vec2 chunk embeddings: one jitted forward per chunk size.
+
+    Chunks are zero-padded to a fixed sample bucket (default 10 s) so the
+    tower compiles once; the mean pool runs on device and only the
+    [hidden] vector is read back.
+    """
+
+    def __init__(self, encoder, variables, chunk_seconds: float = 10.0,
+                 sample_rate: int = 16000, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.dim = encoder.config.hidden_size
+        self._bucket = int(chunk_seconds * sample_rate)
+        compute = dtype or jnp.float32
+
+        def run(wav):
+            out = encoder.apply(variables, wav[None].astype(compute))
+            return out["last_hidden_state"][0].mean(axis=0).astype(
+                jnp.float32)
+
+        self._run = jax.jit(run)
+
+    def __call__(self, chunk: np.ndarray, sample_rate: int) -> np.ndarray:
+        import jax.numpy as jnp
+
+        wav = np.asarray(chunk, np.float32)
+        if len(wav) < self._bucket:
+            wav = np.pad(wav, (0, self._bucket - len(wav)))
+        else:
+            wav = wav[: self._bucket]
+        return np.asarray(self._run(jnp.asarray(wav)))
+
+
 def create_audio_processor(
     whisper_checkpoint: Optional[str] = None,
     config: Optional[AudioConfig] = None,
@@ -451,3 +502,41 @@ def create_audio_processor(
             config, asr_backend=WhisperJaxASR(model, variables, tokenizer)
         )
     return AudioProcessor(config)
+
+
+def build_audio_stack(preset_audio) -> tuple[AudioProcessor, Callable]:
+    """(processor, chunk_embedder) from the preset checkpoint ladder.
+
+    Mirrors the SAM/SigLIP/OCR ladders (`gvl_tpu.perception.batch`):
+    ``audio.whisper_checkpoint`` → Whisper JAX ASR,
+    ``audio.wav2vec2_checkpoint`` → wav2vec2 JAX chunk embeddings; the
+    deterministic fakes otherwise.  ``preset_audio`` is the
+    :class:`gvl_tpu.config.presets.AudioConfig` section.  Reference
+    extraction path: `/root/reference/scripts/realtime_inference.py:
+    384-441, 525-602`.
+    """
+    from gvl_tpu.utils.checkpoints import resolve_repo_path
+
+    config = AudioConfig(
+        sample_rate=getattr(preset_audio, "sample_rate", 16000))
+    whisper_dir = resolve_repo_path(
+        getattr(preset_audio, "whisper_checkpoint", None))
+    processor = create_audio_processor(whisper_dir, config)
+    if whisper_dir:
+        logger.info("audio ASR: Whisper JAX from %s", whisper_dir)
+
+    embedder: Callable = HashAudioEmbedder(1024)
+    if getattr(preset_audio, "use_wav2vec", True):
+        w2v_dir = resolve_repo_path(
+            getattr(preset_audio, "wav2vec2_checkpoint", None))
+        if w2v_dir:
+            from gvl_tpu.models.wav2vec2 import load_hf_wav2vec2
+
+            encoder, variables = load_hf_wav2vec2(w2v_dir)
+            embedder = Wav2Vec2JaxEmbedder(
+                encoder, variables,
+                chunk_seconds=getattr(
+                    preset_audio, "wav2vec2_chunk_seconds", 10.0),
+                sample_rate=config.sample_rate)
+            logger.info("audio embeddings: wav2vec2 JAX from %s", w2v_dir)
+    return processor, embedder

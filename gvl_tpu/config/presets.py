@@ -106,6 +106,9 @@ class PerceptionConfig:
     use_videomae: bool = True
     videomae_model: str = "MCG-NJU/videomae-base"
     videomae_dtype: str = "bfloat16"
+    # local HF VideoMAE directory — same auto-ladder as sam_checkpoint:
+    # JAX tower when it resolves, deterministic hash fake otherwise
+    videomae_checkpoint: Optional[str] = None
 
     # OCR
     use_ocr: bool = True
@@ -125,6 +128,13 @@ class AudioConfig:
     whisper_model: str = "openai/whisper-base"
     whisper_language: Optional[str] = None
     sample_rate: int = 16000
+    # local HF checkpoint dirs — auto-ladder like sam_checkpoint: the
+    # JAX Whisper ASR / wav2vec2 chunk embedder load when these resolve,
+    # deterministic fakes run otherwise (gvl_tpu.audio.build_audio_stack)
+    whisper_checkpoint: Optional[str] = None
+    wav2vec2_checkpoint: Optional[str] = None
+    # fixed wav2vec2 chunk bucket (seconds) — one compile per bucket
+    wav2vec2_chunk_seconds: float = 10.0
 
 
 @dataclass

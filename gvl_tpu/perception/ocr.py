@@ -270,19 +270,32 @@ class OCRPipeline:
     ) -> list[OCRFrame]:
         """Many frames, few device dispatches (engines exposing
         ``.batch``, e.g. the JAX det/rec engine); per-frame fallback
-        otherwise.  ROI cropping multiplies the batch, not the calls."""
+        otherwise.  ROI cropping multiplies the batch, not the calls.
+        Shares the frame-hash cache with the per-frame path: repeated
+        (static HUD) frames are served from cache, only misses batched."""
         if not hasattr(self.engine, "batch"):
             return [self.extract_text_from_frame(f, i, t)
                     for f, i, t in zip(frames, frame_indices, timestamps)]
         t0 = time.perf_counter()
+        cached: dict[int, OCRFrame] = {}
+        misses: list[int] = []
+        if self.config.enable_caching:
+            for fi, frame in enumerate(frames):
+                hit = self.cache.get(frame)
+                if hit is not None:
+                    cached[fi] = hit
+                else:
+                    misses.append(fi)
+        else:
+            misses = list(range(len(frames)))
         crops, offsets, owners = [], [], []
-        for fi, frame in enumerate(frames):
-            for crop, origin in self._crop_rois(frame):
+        for fi in misses:
+            for crop, origin in self._crop_rois(frames[fi]):
                 crops.append(crop)
                 offsets.append(origin)
                 owners.append(fi)
         raw = self.engine.batch(crops) if crops else []
-        per_frame: list[list[TextDetection]] = [[] for _ in frames]
+        per_frame: dict[int, list[TextDetection]] = {fi: [] for fi in misses}
         for dets, (ox, oy), fi in zip(raw, offsets, owners):
             for text, conf, bbox in dets:
                 if conf < self.config.min_confidence:
@@ -293,12 +306,21 @@ class OCRPipeline:
                     text=text, confidence=conf, bbox=shifted,
                     category=self.categorizer.categorize(text, shifted),
                 ))
-        ms = (time.perf_counter() - t0) * 1e3 / max(len(frames), 1)
-        return [
-            OCRFrame(frame_idx=i, timestamp=t, detections=d,
-                     processing_time_ms=ms)
-            for i, t, d in zip(frame_indices, timestamps, per_frame)
-        ]
+        ms = (time.perf_counter() - t0) * 1e3 / max(len(misses), 1)
+        out: list[OCRFrame] = []
+        for fi, (i, t) in enumerate(zip(frame_indices, timestamps)):
+            if fi in cached:
+                result = OCRFrame(frame_idx=i, timestamp=t,
+                                  detections=cached[fi].detections,
+                                  processing_time_ms=0.0)
+            else:
+                result = OCRFrame(frame_idx=i, timestamp=t,
+                                  detections=per_frame[fi],
+                                  processing_time_ms=ms)
+                if self.config.enable_caching:
+                    self.cache.set(frames[fi], result)
+            out.append(result)
+        return out
 
     def extract_from_video_frames(
         self, frames: list[np.ndarray], fps: float, skip_frames: int = 1

@@ -120,7 +120,11 @@ class OpenVocabSamBackend:
 
         sam_config, sam_params = load_hf_sam(sam_dir)
         tower, vision_vars = load_hf_siglip(siglip_vision_dir)
-        nc = NaFlexConfig()
+        # SigLIP's image-text contrastive space is defined by the MAP
+        # (attention-pooled) head output, not mean-pooled vision tokens —
+        # concept scores against the text tower must use 'cls' pooling
+        # regardless of the NaFlexConfig default used for region features.
+        nc = NaFlexConfig(pool_strategy="cls")
         vision_backend = JaxSigLIPBackend(
             tower, vision_vars, nc.dtype, image_mean=nc.image_mean,
             image_std=nc.image_std, pool_strategy=nc.pool_strategy)

@@ -40,6 +40,7 @@ class Request:
     slot: Optional[int] = None
     session_key: Optional[str] = None
     prefilled: int = 0         # tokens actually prefilled at admission
+    error: Optional[str] = None  # set when THIS request's prefill failed
 
 
 class ContinuousBatchingEngine:
@@ -267,14 +268,38 @@ class ContinuousBatchingEngine:
                 cached = cached[:-1]
                 self.cache = self.cache._replace(
                     length=self.cache.length.at[slot].set(len(cached)))
-            size = self._bucket(len(delta))
-            padded = jnp.asarray(
-                [delta + [0] * (size - len(delta))], jnp.int32)
-            self._rng, sub = jax.random.split(self._rng)
-            token, new_k, new_v, new_lengths = self._delta_prefill_fn(size)(
-                self.variables, self.cache.k, self.cache.v,
-                self.cache.length, jnp.int32(slot), padded,
-                jnp.int32(len(delta)), sub)
+            try:
+                size = self._bucket(len(delta))
+                padded = jnp.asarray(
+                    [delta + [0] * (size - len(delta))], jnp.int32)
+                self._rng, sub = jax.random.split(self._rng)
+                token, new_k, new_v, new_lengths = \
+                    self._delta_prefill_fn(size)(
+                        self.variables, self.cache.k, self.cache.v,
+                        self.cache.length, jnp.int32(slot), padded,
+                        jnp.int32(len(delta)), sub)
+            except Exception as exc:  # noqa: BLE001 — attribute to request
+                # The failure belongs to THIS request (its delta traced a
+                # new bucket / hit a bad shape); other live streams must
+                # not pay for it.  A trace/lowering error leaves the cache
+                # buffers alive (donation only consumes them at execution)
+                # — other slots keep their prefixes.  Only an
+                # execution-time failure after donation requires a
+                # rebuild; detect via the donated buffers' liveness.
+                logger.exception("prefill failed for request %d",
+                                 request.request_id)
+                request.error = f"prefill failed: {exc!r}"
+                request.done = True
+                probe = self.cache.k if self.config.scan_layers \
+                    else self.cache.k[0]
+                if probe.is_deleted():
+                    self.reset_cache()
+                else:
+                    # the failed request owns no slot K/V; clear the
+                    # session reservation so the slot is cleanly reusable
+                    self._slot_session[slot] = None
+                    self._slot_cached[slot] = []
+                continue
             self.cache = KVCache(k=new_k, v=new_v, length=new_lengths)
             request.prefilled = len(delta)
             request.slot = slot

@@ -168,10 +168,13 @@ class EngineServer:
                 try:
                     self.engine.step()
                 except Exception as exc:  # noqa: BLE001 — driver must live
-                    # One bad request (e.g. a trace error during its delta
-                    # prefill) must not kill the driver: every consumer
-                    # would then block forever on stream.get().  Fail all
-                    # live streams and keep driving.
+                    # Prefill failures are attributed to the offending
+                    # request inside engine._admit (request.error set,
+                    # other streams untouched) — reaching here means the
+                    # shared DECODE step failed, which cannot be pinned on
+                    # one request.  Fail all live streams and keep
+                    # driving; consumers must not block forever on
+                    # stream.get().
                     logger.exception("engine.step() failed; "
                                      "failing %d live stream(s)",
                                      len(self._streams))
@@ -212,8 +215,12 @@ class EngineServer:
                     self._tokens_out += len(fresh)
                     sent[request_id] = len(request.tokens)
                     if request.done:
-                        stream.put(_DONE)
+                        if request.error is not None:
+                            stream.put(_Failure(request.error))
+                            self._failed += 1
+                        else:
+                            stream.put(_DONE)
+                            self._completed += 1
                         self._streams.pop(request_id)
                         sent.pop(request_id, None)
                         self._submit_time.pop(request_id, None)
-                        self._completed += 1

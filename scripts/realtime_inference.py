@@ -31,7 +31,6 @@ setup_jax()
 
 from gvl_tpu.agent import ReasoningCoreConfig, PerceptionReasoningLoop
 from gvl_tpu.agent.search import GameDetector, GameKnowledgeSearcher
-from gvl_tpu.audio import AudioProcessor
 from gvl_tpu.cache import FeatureCache
 from gvl_tpu.config import SystemConfig, load_preset
 from gvl_tpu.fusion import (
@@ -128,26 +127,26 @@ def extract_siglip_embeddings(frames, segmenter, config: SystemConfig):
 
 
 def extract_videomae_embeddings(frames, config: SystemConfig):
-    """16-frame clips, stride 8 → clip embeddings (fake-backed offline)."""
-    from gvl_tpu.temporal.hico import HashFrameEncoder
+    """16-frame clips, stride 8 → clip embeddings through the preset
+    ladder: JAX VideoMAE when ``perception.videomae_checkpoint``
+    resolves, deterministic hash fake otherwise."""
+    from gvl_tpu.temporal.clip_encoder import (
+        build_clip_encoder,
+        extract_clip_embeddings,
+    )
 
-    encoder = HashFrameEncoder(768)
-    clip, stride = 16, 8
-    out = []
-    arr = [f for _, f in frames]
-    times = [t for t, _ in frames]
-    for start in range(0, max(1, len(arr) - clip + 1), stride):
-        chunk = arr[start: start + clip]
-        if not chunk:
-            break
-        emb = encoder(np.stack(chunk)).mean(axis=0)
-        out.append((times[start], emb))
-    return out
+    return extract_clip_embeddings(frames, build_clip_encoder(config))
 
 
 def run_audio_analysis(video_path: str, timeline, config: SystemConfig):
-    """Sibling .wav (or silence) → ASR + events into the timeline."""
-    proc = AudioProcessor()
+    """Sibling .wav (or silence) → ASR + events into the timeline.
+
+    The ASR backend and the chunk embedder come from the preset ladder
+    (``audio.whisper_checkpoint`` / ``audio.wav2vec2_checkpoint`` →
+    JAX models; fakes otherwise)."""
+    from gvl_tpu.audio import build_audio_stack
+
+    proc, embedder = build_audio_stack(config.audio)
     wav_path = Path(video_path).with_suffix(".wav")
     if wav_path.exists():
         audio, rate = proc.preprocessor.load_audio(wav_path)
@@ -157,16 +156,12 @@ def run_audio_analysis(video_path: str, timeline, config: SystemConfig):
         audio, rate = np.zeros(16000, np.float32), 16000
     result = proc.analyze_audio(audio, rate)
     timeline.add_from_audio_result(result)
-    # wav2vec-style chunk embeddings (10 s chunks)
-    embeddings = []
-    for chunk, start, _ in proc.preprocessor.chunk_audio(
-        audio, rate, chunk_duration=10.0, overlap=0.0
-    ):
-        import hashlib
-
-        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-        rng = np.random.default_rng(int.from_bytes(digest, "little"))
-        embeddings.append((start, rng.standard_normal(1024).astype(np.float32)))
+    # wav2vec2-style chunk embeddings (10 s chunks)
+    embeddings = [
+        (start, embedder(chunk, rate))
+        for chunk, start, _ in proc.preprocessor.chunk_audio(
+            audio, rate, chunk_duration=10.0, overlap=0.0)
+    ]
     return result, embeddings
 
 

@@ -44,6 +44,13 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--fonts", dest="fonts", action="store_true",
+                        default=True,
+                        help="train on the multi-font curriculum (default)")
+    parser.add_argument("--no-fonts", dest="fonts", action="store_false",
+                        help="train on the default PIL font only — this is "
+                             "the configuration that produced the shipped "
+                             "clean-HUD checkpoint outputs/ocr_params.npz")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -55,7 +62,7 @@ def main(argv=None) -> int:
     rec = train_recognizer(
         config, steps=args.rec_steps, batch_size=args.batch_size,
         learning_rate=args.lr, seed=args.seed, log_every=200,
-        use_fonts=True)
+        use_fonts=args.fonts)
     logger.info("training detector (%d steps)", args.det_steps)
     det = train_detector(
         config, steps=args.det_steps, batch_size=8,

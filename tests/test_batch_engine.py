@@ -413,6 +413,82 @@ class TestDeltaBucketOverflow:
         assert engine._requests[rid2].prefilled < len(transcript)
 
 
+class TestPrefillFailureAttribution:
+    """A failure during ONE request's prefill is attributed to that
+    request; concurrent streams keep their prefixes and finish."""
+
+    def _flaky_once(self, engine):
+        real = engine._delta_prefill_fn
+        state = {"tripped": False}
+
+        def flaky(size):
+            fn = real(size)
+
+            def wrapped(*a, **k):
+                if not state["tripped"]:
+                    state["tripped"] = True
+                    raise RuntimeError("injected prefill trace error")
+                return fn(*a, **k)
+
+            return wrapped
+
+        engine._delta_prefill_fn = flaky
+        return state
+
+    def test_engine_marks_only_offender(self, model_setup):
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=4)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        self._flaky_once(engine)
+        ra = engine.submit(PROMPTS[0], max_new_tokens=4)
+        rb = engine.submit(PROMPTS[1], max_new_tokens=4)
+        results = engine.run()
+        assert engine._requests[ra].error is not None
+        assert results[ra] == []
+        assert engine._requests[rb].error is None
+        assert results[rb] == expected[1][:4]
+
+    def test_server_fails_only_offending_stream(self, model_setup):
+        import threading
+
+        from gvl_tpu.serving.engine_server import EngineError, EngineServer
+
+        cfg, variables = model_setup
+        expected = single_engine_outputs(cfg, variables, max_new=4)
+        engine = ContinuousBatchingEngine(
+            cfg, variables, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        self._flaky_once(engine)
+        server = EngineServer(engine)
+        outcomes = {}
+
+        def worker(name, prompt):
+            try:
+                outcomes[name] = server.generate(prompt, max_new_tokens=4)
+            except EngineError as exc:
+                outcomes[name] = exc
+
+        ta = threading.Thread(target=worker, args=("a", PROMPTS[0]))
+        ta.start()
+        import time as _time
+
+        _time.sleep(0.3)   # let A's (failing) prefill happen first
+        tb = threading.Thread(target=worker, args=("b", PROMPTS[1]))
+        tb.start()
+        ta.join(timeout=120)
+        tb.join(timeout=120)
+        # exactly one stream failed, and it's the offender
+        assert isinstance(outcomes["a"], EngineError)
+        assert "injected prefill trace error" in str(outcomes["a"])
+        assert outcomes["b"] == expected[1][:4]
+        # the server keeps serving afterwards
+        out = server.generate(PROMPTS[2], max_new_tokens=4)
+        server.shutdown()
+        assert out == expected[2][:4]
+
+
 class TestCacheRecovery:
     def test_reset_cache_restores_serving(self, model_setup):
         """reset_cache() rebuilds a serving-capable engine (the driver's
