@@ -126,27 +126,63 @@ class BenchmarkLoader(ABC):
     def _load_samples(self) -> list[BenchmarkSample]:
         """Produce the raw sample list (dataset-specific)."""
 
+    # the three non-player concepts the shipped segmenter checkpoint was
+    # trained on (gvl_tpu.training.segmenter_train.CONCEPT_SPECS)
+    _SYNTH_CONCEPTS = ("enemy", "boss", "item")
+
     def synthetic_samples(self, n: int = 8) -> list[BenchmarkSample]:
-        """Fallback samples over procedural videos."""
+        """GROUNDED fallback samples over procedural concept_demo videos.
+
+        Ground truth is derived from the entities the renderer actually
+        DRAWS (``entities=`` URL param), which the shipped trained
+        segmenter detects reliably — so a correct answer requires the
+        whole perceive → index → retrieve → generate → parse loop to
+        work, and accuracy here is a real regression signal (not the
+        round-2 state where truths were random coin flips no backend
+        could match)."""
         rng = random.Random(self.config.random_seed)
         out = []
         for i in range(n):
-            duration = rng.choice([10, 20, 30])
-            truth = rng.choice(["Yes", "No"])
+            duration = rng.choice([10, 20])
+            if i % 2 == 0:
+                # binary presence: truth decided first, scene built to it
+                present = rng.choice(self._SYNTH_CONCEPTS)
+                if rng.random() < 0.5:
+                    asked, truth = present, "Yes"
+                else:
+                    asked = rng.choice([c for c in self._SYNTH_CONCEPTS
+                                        if c != present])
+                    truth = "No"
+                entities = f"player,{present}"
+                question = (f"Does a {asked} appear at any point in this "
+                            f"video? Answer Yes or No.")
+                options = ["Yes", "No"]
+                answer_format = AnswerFormat.BINARY
+            else:
+                # MCQ: exactly one (or none) of the options is rendered
+                present = rng.choice(self._SYNTH_CONCEPTS + (None,))
+                entities = ("player" if present is None
+                            else f"player,{present}")
+                options = list(self._SYNTH_CONCEPTS) + ["None of these"]
+                truth = present if present else "None of these"
+                question = ("Besides the player, which of the following "
+                            "entities appears in this video?")
+                answer_format = AnswerFormat.MCQ
             out.append(BenchmarkSample(
                 sample_id=f"{self.name}_synth_{i:04d}",
                 benchmark_name=self.name,
                 video_path=(
-                    f"synthetic://{self.name}_{i}?duration={duration}&fps=2"
+                    f"synthetic://concept_demo_{self.name}_{i}"
+                    f"?duration={duration}&fps=2&entities={entities}"
                 ),
-                question="Is there a visible entity moving in this video?",
-                options=["Yes", "No"],
+                question=question,
+                options=options,
                 ground_truth=truth,
                 task_type=TaskType.VISUAL_QA,
-                answer_format=AnswerFormat.BINARY,
-                category="synthetic",
+                answer_format=answer_format,
+                category="synthetic_grounded",
                 video_duration_sec=float(duration),
-                metadata={"synthetic": True},
+                metadata={"synthetic": True, "entities": entities},
             ))
         return out
 

@@ -63,10 +63,25 @@ def gvp_full() -> EvalModelConfig:
     )
 
 
+def synthetic_gate() -> EvalModelConfig:
+    """The grounded-synthetic regression arm: trained segmenter ON (the
+    grounding channel), towers that add no signal on synthetic clips OFF,
+    1 fps so the gate runs in CI.  Phase runners use it with
+    ``--synthetic`` to assert the retrieval→prompt→generation→parsing
+    loop produces CORRECT answers, not just well-formed ones."""
+    return EvalModelConfig(
+        name="synthetic_gate",
+        description="grounded synthetic QA gate (trained segmenter)",
+        use_sam=True, use_siglip=False, use_asr=False, use_hico=False,
+        fps=1.0, max_frames=32, max_new_tokens=128,
+    )
+
+
 _REGISTRY = {
     "baseline_plain": baseline_plain,
     "gvp_light": gvp_light,
     "gvp_full": gvp_full,
+    "synthetic_gate": synthetic_gate,
 }
 
 

@@ -128,6 +128,13 @@ class FullPipelineRunner:
         pc.reasoning.max_new_tokens = ec.max_new_tokens
         pc.reasoning.use_lora = ec.use_lora
         pc.reasoning.use_projectors = ec.use_projectors
+        # namespace the feature cache per ablation arm: arms differ in
+        # which perception runs, so a cache entry written by one arm
+        # (e.g. with the segmenter ON) must never be served to another —
+        # that silently transplants capabilities across arms and
+        # invalidates the ablation
+        pc.inference.cache_dir = str(
+            Path(pc.inference.cache_dir) / ec.name)
 
     def _get_processed(self, video_path: str):
         if video_path not in self._processed:

@@ -16,6 +16,7 @@ from gvl_tpu.agent.retriever import HashingTextEmbedder, TimelineRetriever
 from gvl_tpu.agent.core import (
     ReasoningCore,
     TemplateFakeBackend,
+    TimelineGroundedFakeBackend,
     VisualInputProcessor,
     create_reasoning_core,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "TimelineRetriever",
     "ReasoningCore",
     "TemplateFakeBackend",
+    "TimelineGroundedFakeBackend",
     "VisualInputProcessor",
     "create_reasoning_core",
     "PerceptionReasoningLoop",

@@ -47,6 +47,7 @@ class PerceptionReasoningLoop:
         reasoning_core: Optional[ReasoningCore] = None,
         llm_checkpoint_path: Optional[str] = None,
         lora_path: Optional[str] = None,
+        projectors=None,
     ):
         self.config = config or ReasoningCoreConfig()
         self.reasoning_core = reasoning_core or create_reasoning_core(
@@ -55,14 +56,20 @@ class PerceptionReasoningLoop:
         )
         self.trigger_detector = TriggerDetector(self.config)
         self.temporal_context = TemporalContextManager(self.config)
-        # imported here: the models package imports agent.config at module
-        # scope, so a top-level import would be circular
-        from gvl_tpu.models.projector import ProjectorBank
-
-        self.projectors = ProjectorBank(self.config).init()
         self.projector_weights_path = projector_weights_path
-        if projector_weights_path and Path(projector_weights_path).exists():
-            self.projectors.load_weights(projector_weights_path)
+        if projectors is not None:
+            # a pre-built (weights-loaded) bank shared across videos —
+            # bank init + weight load dominate per-video loop setup
+            self.projectors = projectors
+        else:
+            # imported here: the models package imports agent.config at
+            # module scope, so a top-level import would be circular
+            from gvl_tpu.models.projector import ProjectorBank
+
+            self.projectors = ProjectorBank(self.config).init()
+            if projector_weights_path and \
+                    Path(projector_weights_path).exists():
+                self.projectors.load_weights(projector_weights_path)
 
         self.timeline_indexer = timeline_indexer
         self.knowledge_base = knowledge_base

@@ -119,15 +119,23 @@ class TimelineRetriever:
     # ------------------------------------------------------------ indexing
 
     def index_timeline(self, timeline_indexer) -> None:
-        """(Re)index event descriptions; skipped when the count is unchanged."""
+        """(Re)index event descriptions; skipped when unchanged.
+
+        The skip key includes the indexer's identity, not just the event
+        count — a shared reasoning core rebound to a different video's
+        timeline with a coincidentally equal count must re-index, not
+        retrieve from the previous video."""
         events = getattr(timeline_indexer, "events", None)
         if events is None:
             events = getattr(timeline_indexer, "_events", [])
+        key = (id(timeline_indexer), len(events),
+               events[-1].description if events else None)
         if (
             self._event_embeddings is not None
-            and len(self._events) == len(events)
+            and getattr(self, "_index_key", None) == key
         ):
             return
+        self._index_key = key
         self._events = list(events)
         if not self._events or self._embedder is None:
             self._event_embeddings = None

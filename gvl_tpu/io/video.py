@@ -142,12 +142,19 @@ class SyntheticVideo:
     """
 
     def __init__(self, scene: str = "boss_fight", duration: float = 10.0,
-                 fps: float = 30.0, width: int = 320, height: int = 240):
+                 fps: float = 30.0, width: int = 320, height: int = 240,
+                 entities: Optional[list[str]] = None,
+                 hud_text: Optional[str] = None):
         self.scene = scene
         self.duration = duration
         self.fps = fps
         self.width = width
         self.height = height
+        # concept_demo scenes: which CONCEPT_SPECS entities to draw
+        # (None = all) — the grounding channel for synthetic QA samples
+        self.entities = entities
+        # optional white HUD text rendered each frame (OCR grounding)
+        self.hud_text = hud_text
         seed = int.from_bytes(scene.encode()[:8].ljust(8, b"\0"), "little")
         rng = np.random.default_rng(seed)
         self._bg = rng.integers(20, 80, (height, width, 3)).astype(np.uint8)
@@ -158,12 +165,18 @@ class SyntheticVideo:
         parsed = urllib.parse.urlparse(url)
         query = urllib.parse.parse_qs(parsed.query)
         get = lambda key, default: float(query.get(key, [default])[0])
+        entities = None
+        if "entities" in query:
+            entities = [e for e in query["entities"][0].split(",") if e]
+        hud_text = query.get("text", [None])[0]
         return cls(
             scene=parsed.netloc or "boss_fight",
             duration=get("duration", 10.0),
             fps=get("fps", 30.0),
             width=int(get("width", 320)),
             height=int(get("height", 240)),
+            entities=entities,
+            hud_text=hud_text,
         )
 
     @property
@@ -189,6 +202,8 @@ class SyntheticVideo:
         yy, xx = np.mgrid[0:h, 0:w]
         for e, (name, (kind, color)) in enumerate(
                 self._CONCEPT_SPECS.items()):
+            if self.entities is not None and name not in self.entities:
+                continue
             phase = t * (0.3 + 0.15 * e) + e * 1.7
             cx = int((0.5 + 0.33 * np.sin(phase)) * w)
             cy = int((0.5 + 0.28 * np.cos(phase * 0.8)) * h)
@@ -209,9 +224,26 @@ class SyntheticVideo:
         img[8:16, 8 + int(100 * hp): 108] = (60, 60, 60)
         return img
 
+    def _with_hud_text(self, img: np.ndarray) -> np.ndarray:
+        """Render ``hud_text`` in white (PIL default font) top-right —
+        the regime the shipped JAX OCR checkpoint is trained on."""
+        if not self.hud_text:
+            return img
+        from PIL import Image, ImageDraw, ImageFont
+
+        try:
+            font = ImageFont.load_default(size=16)
+        except TypeError:          # older PIL: fixed-size bitmap font
+            font = ImageFont.load_default()
+        pil = Image.fromarray(img)
+        x = max(int(self.width * 0.55), 0)
+        ImageDraw.Draw(pil).text((x, 26), self.hud_text,
+                                 fill=(255, 255, 255), font=font)
+        return np.asarray(pil)
+
     def frame(self, index: int) -> np.ndarray:
-        if self.scene == "concept_demo":
-            return self._concept_frame(index)
+        if self.scene.startswith("concept_demo"):
+            return self._with_hud_text(self._concept_frame(index))
         h, w = self.height, self.width
         img = self._bg.copy()
         t = index / max(self.fps, 1e-6)
@@ -227,7 +259,7 @@ class SyntheticVideo:
         hp = max(0.05, 1.0 - t / max(self.duration, 1e-6))
         img[8:16, 8: 8 + int(100 * hp)] = (200, 40, 40)
         img[8:16, 8 + int(100 * hp): 108] = (60, 60, 60)
-        return img
+        return self._with_hud_text(img)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         for i in range(self.num_frames):

@@ -64,7 +64,21 @@ class ContinuousBatchingEngine:
         top_p: float = 0.8,
         top_k: int = 20,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ):
+        """``mesh`` composes DP×TP in ONE jitted decode program: decode
+        slots shard over the mesh's ``data`` axis (each replica group
+        advances its own requests), weights over ``model`` (megatron
+        specs; shard them with ``shard_pytree(…, LLM_RULES)`` before
+        construction), and GSPMD inserts the collectives.  The reference
+        lists multi-GPU serving as Future Work (`README.md:851-855`)."""
+        self._mesh = mesh
+        if mesh is not None:
+            data_size = dict(mesh.shape).get("data", 1)
+            if num_slots % max(data_size, 1):
+                raise ValueError(
+                    f"num_slots={num_slots} must divide over the data "
+                    f"axis ({data_size})")
         self.config = config
         self.variables = variables
         self.eos_token_id = eos_token_id
@@ -337,11 +351,39 @@ class ContinuousBatchingEngine:
                         for _ in range(cfg.num_layers)),
                 length=jnp.zeros((self.num_slots,), jnp.int32),
             )
+        if self._mesh is not None:
+            self.cache = self._shard_cache(self.cache)
         self._slot_req: list[Optional[Request]] = [None] * self.num_slots
         self._slot_cached: list[list[int]] = [
             [] for _ in range(self.num_slots)]
         self._slot_session: list[Optional[str]] = [None] * self.num_slots
         self._last_token = np.zeros((self.num_slots,), np.int32)
+
+    def _shard_cache(self, cache: KVCache) -> KVCache:
+        """Slots over ``data``, kv heads over ``model`` (where divisible);
+        lengths replicated (tiny, host-updated per admission)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gvl_tpu.parallel.sharding import _sanitize_spec
+
+        mesh = self._mesh
+
+        def put(arr, spec):
+            clean = _sanitize_spec(spec, arr.shape, mesh)
+            return jax.device_put(arr, NamedSharding(mesh, clean))
+
+        slot_spec = P("data", "model", None, None)
+        if self.config.scan_layers:
+            stacked = P(None, "data", "model", None, None)
+            return KVCache(
+                k=put(cache.k, stacked), v=put(cache.v, stacked),
+                length=put(cache.length, P()),
+            )
+        return KVCache(
+            k=tuple(put(x, slot_spec) for x in cache.k),
+            v=tuple(put(x, slot_spec) for x in cache.v),
+            length=put(cache.length, P()),
+        )
 
     def _record_token(self, request: Request, token: int) -> None:
         if token == self.eos_token_id:

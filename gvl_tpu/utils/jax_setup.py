@@ -24,6 +24,18 @@ def setup_jax(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
+    # honor an explicit JAX_PLATFORMS before the backend initializes:
+    # out-of-tree PJRT plugins (the axon TPU tunnel) win over the env
+    # var, so a user running an entry script with JAX_PLATFORMS=cpu
+    # would silently get the tunnel-attached TPU — and tunnel dispatch
+    # latency on a CPU-shaped workload is pathological
+    requested = os.environ.get("JAX_PLATFORMS", "")
+    if requested:
+        try:
+            jax.config.update("jax_platforms", requested)
+        except Exception:
+            pass
+
     target = (
         cache_dir
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")

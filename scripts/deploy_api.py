@@ -23,7 +23,7 @@ from gvl_tpu.serving import create_server
 
 
 def _attach_llm(service, checkpoint: str, num_slots: int,
-                int8: bool = False, tp: int = 1) -> None:
+                int8: bool = False, tp: int = 1, dp: int = 1) -> None:
     """Load an HF Qwen3 checkpoint and serve it through the shared
     continuous-batching engine (``POST /generate``).
 
@@ -45,15 +45,20 @@ def _attach_llm(service, checkpoint: str, num_slots: int,
         model = Qwen3Model(dataclasses.replace(
             model.config, quant_int8=True, lora_rank=0))
         variables = {"params": qparams}
-    if tp > 1:
+    mesh = None
+    if tp > 1 or dp > 1:
         from gvl_tpu.parallel import build_mesh
         from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
 
-        mesh = build_mesh(data=1, model=tp)
+        # one mesh composes both: decode slots shard over `data`
+        # (replica groups), weights over `model` (megatron TP specs) —
+        # LLM_RULES leave the data axis out of weight specs, so weights
+        # replicate across replicas automatically
+        mesh = build_mesh(data=dp, model=tp)
         variables = {"params": shard_pytree(
             variables["params"], mesh, LLM_RULES)}
         logging.getLogger(__name__).info(
-            "LLM tensor-parallel over %s", dict(mesh.shape))
+            "LLM dp×tp serving over %s", dict(mesh.shape))
     try:
         tokenizer = AutoTokenizer.from_pretrained(checkpoint)
     except Exception:  # weights-only checkpoint: serve prompt_ids
@@ -64,7 +69,8 @@ def _attach_llm(service, checkpoint: str, num_slots: int,
     eos = (tokenizer.eos_token_id if tokenizer is not None else None)
     eos = eos if eos is not None else 151645
     engine = ContinuousBatchingEngine(
-        model.config, variables, eos_token_id=eos, num_slots=num_slots)
+        model.config, variables, eos_token_id=eos, num_slots=num_slots,
+        mesh=mesh)
 
     def session_factory():
         from gvl_tpu.models.session import Qwen3ChatSession
@@ -98,13 +104,18 @@ def main(argv=None) -> int:
                         help="tensor-parallel degree: shard the LLM over "
                              "this many devices (megatron partition specs "
                              "over the model mesh axis)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel replicas: decode slots shard "
+                             "over the mesh's data axis (dp×tp must "
+                             "divide the attached device count; num-slots "
+                             "must divide dp)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
     server = create_server(args.host, args.port, load_preset(args.preset))
     if args.llm_checkpoint:
         _attach_llm(server.service, args.llm_checkpoint, args.num_slots,
-                    int8=args.int8, tp=args.tp)
+                    int8=args.int8, tp=args.tp, dp=args.dp)
     logging.getLogger(__name__).info(
         "serving on %s:%d", args.host, args.port)
     server.serve_forever()

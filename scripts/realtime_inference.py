@@ -366,11 +366,16 @@ def process_video(
             config.inference.trigger_confidence_threshold,
     )
     with timer.stage("loop_init"):
+        core, projectors = _loop_components(
+            reasoning_config, config.reasoning.projector_path)
+        core.clear_conversation()
         loop = PerceptionReasoningLoop(
             config=reasoning_config,
             timeline_indexer=timeline,
             knowledge_base=kb,
             projector_weights_path=config.reasoning.projector_path,
+            reasoning_core=core,
+            projectors=projectors,
         )
         loop.start()
         loop.reasoning_core.index_timeline(timeline)
@@ -378,6 +383,33 @@ def process_video(
     result.timings = dict(timer.timings)
     print(timer.report())
     return result
+
+
+# (reasoning core, projector bank) shared across videos: bank init +
+# weight load dominate per-video setup (~10 s measured), and a benchmark
+# run visits hundreds of videos — the reference memoizes equivalently
+# (`/root/reference/benchmarks/model_inference.py:142-174`).  Keyed on
+# everything that changes the built objects; conversation state is
+# cleared per video by process_video.
+_LOOP_COMPONENT_CACHE: dict = {}
+
+
+def _loop_components(reasoning_config: ReasoningCoreConfig,
+                     projector_path: Optional[str]):
+    from dataclasses import asdict
+
+    key = (repr(sorted(asdict(reasoning_config).items(),
+                       key=lambda kv: kv[0])), projector_path)
+    if key not in _LOOP_COMPONENT_CACHE:
+        from gvl_tpu.agent.core import create_reasoning_core
+        from gvl_tpu.models.projector import ProjectorBank
+
+        core = create_reasoning_core(reasoning_config)
+        projectors = ProjectorBank(reasoning_config).init()
+        if projector_path and Path(projector_path).exists():
+            projectors.load_weights(projector_path)
+        _LOOP_COMPONENT_CACHE[key] = (core, projectors)
+    return _LOOP_COMPONENT_CACHE[key]
 
 
 def _to_cache_dict(result: ProcessedVideo) -> dict:

@@ -135,8 +135,10 @@ class TestReasoningCore:
         assert core2.get_conversation_summary()["turn_count"] == 2
 
     def test_factory_without_checkpoint(self):
+        from gvl_tpu.agent.core import TimelineGroundedFakeBackend
+
         core = create_reasoning_core()
-        assert isinstance(core.backend, TemplateFakeBackend)
+        assert isinstance(core.backend, TimelineGroundedFakeBackend)
 
 
 class TestVisualProcessor:

@@ -413,6 +413,58 @@ class TestDeltaBucketOverflow:
         assert engine._requests[rid2].prefilled < len(transcript)
 
 
+class TestDPxTPServing:
+    def test_dp2_tp4_concurrent_requests_match_unsharded(self, model_setup):
+        """VERDICT r2 #10: one (data=2, model=4) mesh serves two
+        concurrent requests — slots sharded over data, int8 weights over
+        model — with tokens identical to the unsharded engine."""
+        import dataclasses
+        import threading
+
+        from gvl_tpu.models.qwen3 import quantize_int8
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+        from gvl_tpu.serving.engine_server import EngineServer
+
+        cfg, variables = model_setup
+        qparams = quantize_int8(variables["params"], cfg)
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+        ref = ContinuousBatchingEngine(
+            cfg_q, {"params": qparams}, eos_token_id=-1, num_slots=2,
+            dtype=jnp.float32, temperature=0.0)
+        expected = ref.generate_many(PROMPTS[:2], max_new_tokens=4)
+
+        mesh = build_mesh(data=2, model=4)
+        engine = ContinuousBatchingEngine(
+            cfg_q, {"params": shard_pytree(qparams, mesh, LLM_RULES)},
+            eos_token_id=-1, num_slots=2, dtype=jnp.float32,
+            temperature=0.0, mesh=mesh)
+        server = EngineServer(engine)
+        results = [None, None]
+
+        def worker(i):
+            results[i] = list(server.submit_stream(PROMPTS[i],
+                                                   max_new_tokens=4))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        server.shutdown()
+        assert results == expected
+
+    def test_slots_must_divide_data_axis(self, model_setup):
+        from gvl_tpu.parallel import build_mesh
+
+        cfg, variables = model_setup
+        mesh = build_mesh(data=8, model=1)
+        with pytest.raises(ValueError, match="data"):
+            ContinuousBatchingEngine(
+                cfg, variables, eos_token_id=-1, num_slots=3, mesh=mesh)
+
+
 class TestPrefillFailureAttribution:
     """A failure during ONE request's prefill is attributed to that
     request; concurrent streams keep their prefixes and finish."""
