@@ -57,6 +57,13 @@ class Qwen3Config:
     # round-1 "tie" was toy-scale fixed overhead.  Dispatch is keyed on
     # the lowering platform, so CPU meshes take the einsum automatically.
     use_decode_kernel: bool = True
+    # single-token decode writes K/V through an input-output-ALIASED
+    # Pallas kernel (gvl_tpu.ops.cache_update) instead of scatter/DUS:
+    # the result provably shares the input buffer, so scan carries and
+    # donated jit arguments never pay the S_max-proportional cache copy
+    # (round-2 root cause of 68 vs 83 tok/s at S_max=4096).  CPU meshes
+    # take the scatter reference via platform_dependent.
+    use_cache_append_kernel: bool = True
     # speculative-decoding verification: multi-token chunks written at a
     # nonzero cache offset attend over the cached prefix + causal self
     # (default False = prefill semantics: causal over the chunk only)
@@ -189,6 +196,7 @@ class Qwen3Attention(nn.Module):
         cache_v: Optional[jax.Array] = None,
         cache_len: Optional[jax.Array] = None,
         rope_cos_sin: Optional[tuple] = None,
+        stacked_cache: Optional[tuple] = None,  # (k_all, v_all, layer_idx)
     ):
         cfg = self.config
         batch, seq, _ = x.shape
@@ -218,13 +226,75 @@ class Qwen3Attention(nn.Module):
         k = (k * cos + _rotate_half(k) * sin).astype(k.dtype)
         v = v.swapaxes(1, 2)
 
+        if stacked_cache is not None:
+            # scan-over-layers single-token decode: the WHOLE stacked
+            # [L, B, Hkv, S, D] cache is a loop carry; this layer writes
+            # its one row in place (aliased Pallas append) and attends
+            # via the layer-indexed decode kernel — no per-layer slice
+            # materialization, no scan-output restacking (the round-2
+            # S_max-proportional decode tax, ROADMAP "Decode S_max
+            # sensitivity")
+            from gvl_tpu.ops.cache_update import (
+                cache_append_stacked,
+                cache_append_stacked_reference,
+            )
+            from gvl_tpu.ops.decode_attention import (
+                decode_attention_stacked,
+                decode_attention_stacked_reference,
+            )
+
+            k_all, v_all, layer_idx = stacked_cache
+            pos = jnp.broadcast_to(
+                jnp.atleast_1d(cache_len), (batch,)).astype(jnp.int32)
+            k_all = jax.lax.platform_dependent(
+                k_all, k.astype(k_all.dtype)[:, :, 0, :], pos, layer_idx,
+                tpu=cache_append_stacked,
+                default=cache_append_stacked_reference)
+            v_all = jax.lax.platform_dependent(
+                v_all, v.astype(v_all.dtype)[:, :, 0, :], pos, layer_idx,
+                tpu=cache_append_stacked,
+                default=cache_append_stacked_reference)
+            lengths = pos + 1
+            if cfg.use_decode_kernel:
+                out = jax.lax.platform_dependent(
+                    q[:, :, 0], k_all, v_all, lengths, layer_idx,
+                    tpu=decode_attention_stacked,
+                    default=decode_attention_stacked_reference,
+                )[:, :, None, :]
+            else:
+                out = decode_attention_stacked_reference(
+                    q[:, :, 0], k_all, v_all, lengths, layer_idx
+                )[:, :, None, :]
+            out = out.swapaxes(1, 2).reshape(batch, seq, n_q * d)
+            return self._dense("o_proj", cfg.hidden_size)(out), k_all, v_all
+
         if cache_k is None:
             # teacher-forced path: causal flash over the sequence
             out = dot_product_attention(q, k, v, causal=True)
             new_k, new_v = k, v
         else:
             # cache_len: scalar (one sequence) or [B] (per-slot lengths)
-            if jnp.ndim(cache_len) == 0:
+            if seq == 1 and cfg.use_cache_append_kernel and d % 128 == 0:
+                # single-token decode: IN-PLACE Pallas append.  The
+                # scatter/DUS forms let XLA materialize a fresh cache
+                # buffer whenever donation fails to alias (layout
+                # mismatch) — measured ~2 ms/token at S_max=4096, a 20%
+                # decode tax.  The aliased kernel writes the one live
+                # row into the SAME buffer (gvl_tpu.ops.cache_update).
+                from gvl_tpu.ops.cache_update import (
+                    cache_append,
+                    cache_append_reference,
+                )
+
+                pos = jnp.broadcast_to(
+                    jnp.atleast_1d(cache_len), (batch,)).astype(jnp.int32)
+                new_k = jax.lax.platform_dependent(
+                    cache_k, k.astype(cache_k.dtype)[:, :, 0, :], pos,
+                    tpu=cache_append, default=cache_append_reference)
+                new_v = jax.lax.platform_dependent(
+                    cache_v, v.astype(cache_v.dtype)[:, :, 0, :], pos,
+                    tpu=cache_append, default=cache_append_reference)
+            elif jnp.ndim(cache_len) == 0:
                 new_k = jax.lax.dynamic_update_slice(
                     cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0)
                 )
@@ -317,11 +387,12 @@ class Qwen3Layer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, cache_k=None, cache_v=None, cache_len=None,
-                 rope_cos_sin=None):
+                 rope_cos_sin=None, stacked_cache=None):
         cfg = self.config
         h = RMSNorm(eps=cfg.rms_norm_eps, name="input_norm")(x)
         attn, new_k, new_v = Qwen3Attention(cfg, name="self_attn")(
-            h, positions, cache_k, cache_v, cache_len, rope_cos_sin
+            h, positions, cache_k, cache_v, cache_len, rope_cos_sin,
+            stacked_cache=stacked_cache,
         )
         x = x + attn
         h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attn_norm")(x)
@@ -329,12 +400,25 @@ class Qwen3Layer(nn.Module):
 
 
 class _ScanLayerBody(nn.Module):
-    """nn.scan target: carry = (x, positions, cache_len); xs = (k, v)."""
+    """nn.scan target.
+
+    Two carry shapes select the mode: ``(x, positions, cache_len)`` with
+    per-layer cache xs (prefill / training — ys restack the cache), or
+    the 6-tuple ``(x, positions, cache_len, k_all, v_all, idx)`` where
+    the WHOLE stacked cache rides the carry and each layer updates its
+    slice in place (single-token decode — no ys, no restacking)."""
 
     config: Qwen3Config
 
     @nn.compact
     def __call__(self, carry, layer_cache):
+        if len(carry) == 6:
+            x, positions, cache_len, k_all, v_all, idx = carry
+            x, k_all, v_all = Qwen3Layer(self.config, name="layer")(
+                x, positions, cache_len=cache_len,
+                stacked_cache=(k_all, v_all, idx),
+            )
+            return (x, positions, cache_len, k_all, v_all, idx + 1), None
         x, positions, cache_len = carry
         cache_k, cache_v = (None, None) if layer_cache is None else layer_cache
         x, new_k, new_v = Qwen3Layer(self.config, name="layer")(
@@ -392,11 +476,22 @@ class Qwen3Model(nn.Module):
             positions = jnp.arange(seq, dtype=jnp.int32)
 
         if cfg.scan_layers:
-            cache_len = None if cache is None else cache.length
-            xs = None if cache is None else (cache.k, cache.v)
-            (x, _, _), (new_k, new_v) = self.scanned(
-                (x, positions, cache_len), xs
-            )
+            if (cache is not None and seq == 1
+                    and cfg.use_cache_append_kernel
+                    and cfg.head_dim % 128 == 0):
+                # stacked-carry decode: cache rides the scan carry and
+                # each layer row-updates its slice in place
+                idx0 = jnp.zeros((), jnp.int32)
+                (x, _, _, new_k, new_v, _), _ = self.scanned(
+                    (x, positions, cache.length, cache.k, cache.v, idx0),
+                    None,
+                )
+            else:
+                cache_len = None if cache is None else cache.length
+                xs = None if cache is None else (cache.k, cache.v)
+                (x, _, _), (new_k, new_v) = self.scanned(
+                    (x, positions, cache_len), xs
+                )
         else:
             new_k_list, new_v_list = [], []
             for i, layer in enumerate(self.decoder_layers):

@@ -145,6 +145,141 @@ def decode_attention(
     return out.reshape(batch, num_q_heads, head_dim)
 
 
+def _decode_kernel_stacked(
+    layer_ref, lengths_ref,           # scalar-prefetch [1], [B]
+    q_ref, k_ref, v_ref, o_ref,
+    m_ref, l_ref, acc_ref,
+    *, sm_scale: float, block_k: int,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    length = lengths_ref[b]
+    last_ik = jnp.maximum(length - 1, 0) // block_k
+    del layer_ref  # consumed by the index maps
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(ik <= last_ik)
+    def _step():
+        q = q_ref[0, 0]                     # [G, D]
+        k = k_ref[0, 0, 0]                  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                        # [G, BK]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+        s = jnp.where(col < length, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        v = v_ref[0, 0, 0]
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ik == last_ik)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def decode_attention_stacked(
+    q: jax.Array,          # [B, Hq, D] — one token per slot
+    k_all: jax.Array,      # [L, B, Hkv, S_max, D] — ALL layers' caches
+    v_all: jax.Array,
+    lengths: jax.Array,    # [B]
+    layer: jax.Array,      # scalar int32 — which layer's cache to read
+    *,
+    sm_scale: Optional[float] = None,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`decode_attention` reading layer ``layer`` of the STACKED
+    cache directly (no per-layer slice materialization).
+
+    The scan-over-layers decode carries the whole stacked cache; slicing
+    a layer out for the kernel would copy S_max·Hkv·D per layer per
+    step — the measured source of the round-2 S_max-proportional decode
+    tax.  Here the layer index is a scalar-prefetch operand of the block
+    index map, so the kernel DMAs only that layer's live blocks.
+    """
+    batch, num_q_heads, head_dim = q.shape
+    _, _, num_kv_heads, s_max, _ = k_all.shape
+    group = num_q_heads // num_kv_heads
+    scale = sm_scale if sm_scale is not None else 1.0 / np.sqrt(head_dim)
+    if head_dim % LANE:
+        raise ValueError(f"head_dim {head_dim} must be a multiple of {LANE}")
+
+    block_k = min(block_k, s_max)
+    if s_max % block_k:
+        raise ValueError(f"cache length {s_max} not divisible by {block_k}")
+    n_blocks = s_max // block_k
+    gp = max(8, ((group + 7) // 8) * 8)  # min sublane tile
+
+    qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+
+    def kv_index(b, h, ik, layer_ref, lengths_ref):
+        last = jnp.maximum(lengths_ref[b] - 1, 0) // block_k
+        return (layer_ref[0], b, h, jnp.minimum(ik, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_kv_heads, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, gp, head_dim),
+                         lambda b, h, ik, lay, lens: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_k, head_dim), kv_index),
+            pl.BlockSpec((1, 1, 1, block_k, head_dim), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, gp, head_dim),
+                               lambda b, h, ik, lay, lens: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gp, LANE), jnp.float32),
+            pltpu.VMEM((gp, LANE), jnp.float32),
+            pltpu.VMEM((gp, head_dim), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_stacked, sm_scale=scale,
+                          block_k=block_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, gp, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      lengths.astype(jnp.int32), qg, k_all, v_all)
+
+    out = out[:, :, :group, :head_dim]
+    return out.reshape(batch, num_q_heads, head_dim)
+
+
+def decode_attention_stacked_reference(
+    q: jax.Array, k_all: jax.Array, v_all: jax.Array,
+    lengths: jax.Array, layer: jax.Array,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Slice-then-reference (CPU/ground-truth path)."""
+    return decode_attention_reference(
+        q, k_all[layer], v_all[layer], lengths, sm_scale=sm_scale)
+
+
 def decode_attention_reference(
     q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, lengths: jax.Array,
     sm_scale: Optional[float] = None,

@@ -48,7 +48,7 @@ def run_batched_perception(
     timeline,
     kb,
     concepts: Sequence[str] = DEFAULT_CONCEPTS,
-    chunk: int = 8,
+    chunk: int = 32,
     segmenter=None,
     encoder=None,
     ocr=None,
@@ -60,6 +60,14 @@ def run_batched_perception(
     :class:`~gvl_tpu.config.presets.SystemConfig`.  Pass pre-built
     ``segmenter`` / ``encoder`` / ``ocr`` to reuse compiled programs
     across clips (otherwise they are constructed from the config).
+
+    Segmentation is software-pipelined one chunk ahead: chunk ``i+1``'s
+    frames×concepts program is dispatched (async) before chunk ``i``'s
+    host work (mask NMS, tracking, region prep, timeline/KB ingest)
+    runs, so the device computes while the host consumes — JAX's async
+    dispatch makes the overlap free.  Larger ``chunk`` amortizes
+    dispatch + readback latency (measured on the tunnel-attached v5e:
+    23.5 fps at chunk=8 → 27.5 at chunk=48, before the overlap).
     """
     from gvl_tpu.fusion import EventPriority, ModalityType
 
@@ -73,27 +81,57 @@ def run_batched_perception(
     sam_step = max(1, int(round(
         config.inference.fps / max(p.sam3_fps, 1e-6))))
 
-    out: list[tuple[float, np.ndarray]] = []
+    # precompute chunk groups so segmentation can run one chunk ahead
+    groups = []
     for start in range(0, len(frames), chunk):
         group = frames[start:start + chunk]
         indices = list(range(start, start + len(group)))
-        stamps = [ts for ts, _ in group]
-        images = [f for _, f in group]
+        groups.append({
+            "indices": indices,
+            "stamps": [ts for ts, _ in group],
+            "images": [f for _, f in group],
+            "sampled": [(pos, idx) for pos, idx in enumerate(indices)
+                        if idx % sam_step == 0] if p.use_sam else [],
+        })
+
+    backend = getattr(segmenter, "backend", None)
+    can_pipeline = (p.use_sam and backend is not None
+                    and hasattr(backend, "submit"))
+
+    def submit_seg(g):
+        if can_pipeline and g["sampled"]:
+            g["seg_handle"] = backend.submit(
+                [g["images"][pos] for pos, _ in g["sampled"]],
+                list(concepts))
+
+    if groups:
+        submit_seg(groups[0])
+
+    out: list[tuple[float, np.ndarray]] = []
+    for gi, g in enumerate(groups):
+        if gi + 1 < len(groups):
+            submit_seg(groups[gi + 1])    # device works ahead
+        indices, stamps, images = g["indices"], g["stamps"], g["images"]
+        sampled = g["sampled"]
 
         # ---- segmentation + tracking: one frames×concepts program
-        per_frame_entities: list[list] = [[] for _ in group]
-        if p.use_sam:
-            sampled = [(pos, idx) for pos, idx in enumerate(indices)
-                       if idx % sam_step == 0]
-            if sampled:
+        per_frame_entities: list[list] = [[] for _ in indices]
+        if p.use_sam and sampled:
+            sample_frames = [images[pos] for pos, _ in sampled]
+            sample_indices = [idx for _, idx in sampled]
+            if "seg_handle" in g:
+                raw = backend.collect(g["seg_handle"], sample_frames,
+                                      sample_indices, list(concepts))
+                batch_entities = segmenter.ingest_raw(
+                    raw, sample_indices, list(concepts))
+            else:
                 batch_entities = segmenter.segment_batch(
-                    [images[pos] for pos, _ in sampled],
-                    [idx for _, idx in sampled], list(concepts))
-                for (pos, idx), entities in zip(sampled, batch_entities):
-                    per_frame_entities[pos] = entities
-                    timeline.add_from_sam_entities(
-                        entities, idx, stamps[pos])
-                    kb.update_from_tracking(entities, idx, stamps[pos])
+                    sample_frames, sample_indices, list(concepts))
+            for (pos, idx), entities in zip(sampled, batch_entities):
+                per_frame_entities[pos] = entities
+                timeline.add_from_sam_entities(
+                    entities, idx, stamps[pos])
+                kb.update_from_tracking(entities, idx, stamps[pos])
 
         # ---- region semantics: every region of the chunk, one batch set
         if p.use_siglip:

@@ -59,6 +59,17 @@ class OCRModelConfig:
     box_expand: int = 1          # prob-map px added per side (conv erosion)
     min_box_area: int = 12       # in prob-map pixels
     crop_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
+    # "crnn" = the original 4-conv column net; "v2" = wider convs + a
+    # 2-block transformer over the time axis (the capacity needed to hold
+    # clean-HUD AND stylized-font accuracy in ONE checkpoint).  Engines
+    # auto-detect the arch of a loaded checkpoint from its param tree.
+    rec_arch: str = "crnn"
+    v2_features: tuple[int, ...] = (64, 128, 256)
+    v2_blocks: int = 2
+    v2_heads: int = 4
+    # CTC decode: beam width (1 = greedy; 3 recovers single-step
+    # argmax flips at ~negligible host cost)
+    beam_width: int = 3
 
     @property
     def num_classes(self) -> int:
@@ -112,6 +123,63 @@ class TextRecognizerNet(nn.Module):
         x = nn.relu(x)
         x = x[:, 0]                                    # [B, T, F]
         return nn.Dense(self.config.num_classes)(x)
+
+
+class TextRecognizerNetV2(nn.Module):
+    """Wider conv column + transformer context over the time axis.
+
+    The original CRNN has no sequence context, which is the measured
+    capacity ceiling for covering clean-HUD and stylized fonts with one
+    checkpoint (round-2 shipped two forks).  Two pre-LN self-attention
+    blocks over the ~96 time steps let glyph hypotheses condition on
+    their neighbors at negligible FLOPs.
+    """
+
+    config: OCRModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        f = cfg.v2_features
+        x = nn.Conv(f[0], (3, 3), strides=(2, 2))(x)   # 16 x W/2
+        x = nn.relu(x)
+        x = nn.Conv(f[1], (3, 3), strides=(2, 1))(x)   # 8
+        x = nn.relu(x)
+        x = nn.Conv(f[1], (3, 3))(x)
+        x = nn.relu(x)
+        x = nn.Conv(f[2], (3, 3), strides=(2, 1))(x)   # 4
+        x = nn.relu(x)
+        x = nn.Conv(f[2], (3, 3), strides=(x.shape[1], 1))(x)  # H -> 1
+        x = nn.relu(x)
+        x = x[:, 0]                                    # [B, T, F]
+        d = f[2]
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, x.shape[1], d))
+        x = nn.Dense(d, name="in_proj")(x) + pos
+        for i in range(self.config.v2_blocks):
+            h = nn.LayerNorm(name=f"ln1_{i}")(x)
+            h = nn.SelfAttention(num_heads=cfg.v2_heads,
+                                 name=f"attn_{i}")(h)
+            x = x + h
+            h = nn.LayerNorm(name=f"ln2_{i}")(x)
+            h = nn.Dense(2 * d, name=f"fc1_{i}")(h)
+            h = nn.gelu(h)
+            x = x + nn.Dense(d, name=f"fc2_{i}")(h)
+        x = nn.LayerNorm(name="ln_out")(x)
+        return nn.Dense(self.config.num_classes)(x)
+
+
+def make_recognizer(config: OCRModelConfig) -> nn.Module:
+    if config.rec_arch == "v2":
+        return TextRecognizerNetV2(config)
+    return TextRecognizerNet(config)
+
+
+def detect_rec_arch(params: dict) -> str:
+    """Checkpoint param tree → architecture name (v2 has attn blocks)."""
+    rec = params.get("recognizer", params)
+    tree = rec.get("params", rec)
+    return "v2" if any("attn" in str(k) for k in tree) else "crnn"
 
 
 # --------------------------------------------------------------------------
@@ -182,6 +250,76 @@ def ctc_greedy_decode(
     return text, float(best.mean())
 
 
+def ctc_beam_decode(
+    logits: np.ndarray, config: OCRModelConfig, beam_width: int = 5
+) -> tuple[str, float]:
+    """CTC prefix beam search (host-side; the prob map is tiny).
+
+    Sums path probabilities per prefix instead of taking the single best
+    path — recovers labels the greedy argmax flips on one noisy step
+    (the stylized-font failure mode).  ``beam_width=1`` falls back to
+    greedy.
+    """
+    if beam_width <= 1:
+        return ctc_greedy_decode(logits, config)
+    lp = logits - logits.max(-1, keepdims=True)
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))   # log-softmax
+    T, C = lp.shape
+    NEG = -1e30
+
+    def logsum(a, b):
+        m = max(a, b)
+        if m <= NEG / 2:
+            return NEG
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # prefix -> (logp ending in blank, logp ending in non-blank)
+    beams = {(): (0.0, NEG)}
+    for t in range(T):
+        step = lp[t]
+        # prune classes: only blank + top-k symbols matter
+        top = np.argsort(-step)[: max(beam_width * 2, 8)]
+        new: dict[tuple, list[float]] = {}
+
+        def add(prefix, pb, pnb):
+            if prefix in new:
+                cur = new[prefix]
+                new[prefix] = [logsum(cur[0], pb), logsum(cur[1], pnb)]
+            else:
+                new[prefix] = [pb, pnb]
+
+        for prefix, (pb, pnb) in beams.items():
+            total = logsum(pb, pnb)
+            # blank extends, prefix unchanged
+            add(prefix, total + step[BLANK_ID], NEG)
+            last = prefix[-1] if prefix else None
+            for c in top:
+                c = int(c)
+                if c == BLANK_ID:
+                    continue
+                pc = step[c]
+                if c == last:
+                    # repeat symbol: extends non-blank as same prefix,
+                    # extends prefix only from the blank-ending mass
+                    add(prefix, NEG, pnb + pc)
+                    add(prefix + (c,), NEG, pb + pc)
+                else:
+                    add(prefix + (c,), NEG, total + pc)
+        ranked = sorted(new.items(),
+                        key=lambda kv: -logsum(kv[1][0], kv[1][1]))
+        beams = {k: tuple(v) for k, v in ranked[:beam_width]}
+    best_prefix, (pb, pnb) = max(
+        beams.items(), key=lambda kv: logsum(kv[1][0], kv[1][1]))
+    score = logsum(pb, pnb)
+    text = config.decode_ids(list(best_prefix))
+    return text, float(np.exp(score / max(T, 1)))
+
+
+def ctc_decode(logits: np.ndarray, config: OCRModelConfig) -> tuple[str, float]:
+    """Config-dispatching decode: beam when ``beam_width > 1``."""
+    return ctc_beam_decode(logits, config, config.beam_width)
+
+
 def _nn_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbour resize (no PIL on the inference path)."""
     ys = (np.arange(h) * img.shape[0] / h).astype(np.int32)
@@ -216,8 +354,6 @@ class JaxOCREngine:
         rng: Optional[jax.Array] = None,
     ):
         self.config = config or OCRModelConfig()
-        self.detector = TextDetectorNet(self.config)
-        self.recognizer = TextRecognizerNet(self.config)
         if params is not None:
             self.params = params
         elif checkpoint is not None:
@@ -228,6 +364,15 @@ class JaxOCREngine:
                 "scripts/train_ocr.py or pass checkpoint=")
             self.params = init_ocr_params(
                 self.config, rng if rng is not None else jax.random.PRNGKey(0))
+        # the checkpoint's recognizer architecture wins over the config
+        # default (old CRNN checkpoints keep loading after the v2 switch)
+        arch = detect_rec_arch(self.params)
+        if arch != self.config.rec_arch:
+            import dataclasses
+
+            self.config = dataclasses.replace(self.config, rec_arch=arch)
+        self.detector = TextDetectorNet(self.config)
+        self.recognizer = make_recognizer(self.config)
         cfg = self.config
         self._det = jax.jit(lambda p, x: jax.nn.sigmoid(
             self.detector.apply(p, x)))
@@ -278,7 +423,7 @@ class JaxOCREngine:
             batch[:m, :, :, 0] = np.stack(chunk)
             logits = np.asarray(self._rec(self.params["recognizer"], batch))
             for j in range(m):
-                text, conf = ctc_greedy_decode(logits[j], cfg)
+                text, conf = ctc_decode(logits[j], cfg)
                 if text:
                     results[owners[i + j]].append(
                         (text, conf, all_boxes[i + j]))
@@ -334,7 +479,7 @@ def init_ocr_params(config: OCRModelConfig, rng: jax.Array) -> dict:
     det_rng, rec_rng = jax.random.split(rng)
     det = TextDetectorNet(config).init(
         det_rng, jnp.zeros((1, config.det_height, config.det_width, 1)))
-    rec = TextRecognizerNet(config).init(
+    rec = make_recognizer(config).init(
         rec_rng, jnp.zeros((1, config.rec_height, config.rec_width, 1)))
     return {"detector": det, "recognizer": rec}
 
@@ -444,9 +589,20 @@ def crop_to_input(crop: np.ndarray, config: OCRModelConfig) -> np.ndarray:
     return padded
 
 
+def _photometric(crop: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Ink gain, background lift, pixel noise — matches the background
+    statistics of real frames (synthetic clips render on 0.08–0.31 gray,
+    not the black canvas the round-2 models assumed)."""
+    gain = float(rng.uniform(0.6, 1.0))
+    bg = float(rng.uniform(0.0, 0.2))
+    return np.clip(crop * gain + bg + rng.normal(0, 0.02, crop.shape),
+                   0.0, 1.0)
+
+
 def _synth_crop(
     text: str, config: OCRModelConfig, rng: np.random.Generator,
     use_fonts: bool = False,
+    photometric: Optional[bool] = None,
 ) -> np.ndarray:
     """Training sample that mimics a detector crop: render at a random
     font size IN A RANDOM FONT (game HUDs are stylized — DejaVu/STIX
@@ -472,12 +628,10 @@ def _synth_crop(
     mx1, mx2 = int(rng.integers(0, 4)), int(rng.integers(0, 4))
     crop = line[max(rows.min() - my1, 0):rows.max() + 1 + my2,
                 max(cols.min() - mx1, 0):cols.max() + 1 + mx2]
-    if use_fonts:
-        # photometric jitter: ink gain, background lift, pixel noise
-        gain = float(rng.uniform(0.6, 1.0))
-        bg = float(rng.uniform(0.0, 0.12))
-        crop = np.clip(crop * gain + bg
-                       + rng.normal(0, 0.02, crop.shape), 0.0, 1.0)
+    if photometric is None:
+        photometric = use_fonts
+    if photometric:
+        crop = _photometric(crop, rng)
     return crop_to_input(crop.astype(np.float32), config)
 
 
@@ -491,15 +645,21 @@ def train_recognizer(
     max_label_len: int = 16,
     log_every: int = 0,
     use_fonts: bool = False,
+    pool_size: int = 0,
 ) -> dict:
     """CTC-train the recognizer on synthetic detector-style crops.
 
     ``use_fonts`` samples random TTF typefaces + photometric jitter
     (stylized-HUD robustness; needs a larger step budget — the shipped
-    checkpoint trains with it ON, micro-budget tests leave it off)."""
+    checkpoint trains with it ON, micro-budget tests leave it off).
+
+    ``pool_size`` pre-renders that many (crop, label) pairs once and
+    samples batches from the pool with fresh per-step photometric jitter
+    — PIL rendering on one host core is otherwise the training
+    bottleneck at the step budgets the v2 recognizer needs."""
     import optax
 
-    model = TextRecognizerNet(config)
+    model = make_recognizer(config)
     rng = np.random.default_rng(seed)
     if params is None:
         params = model.init(jax.random.PRNGKey(seed), jnp.zeros(
@@ -520,19 +680,48 @@ def train_recognizer(
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for i in range(steps):
-        images = np.zeros(
-            (batch_size, config.rec_height, config.rec_width, 1),
-            np.float32)
-        labels = np.zeros((batch_size, max_label_len), np.int32)
-        label_pad = np.ones((batch_size, max_label_len), np.float32)
-        for b in range(batch_size):
+    pool = None
+    if pool_size:
+        pool_images = np.zeros(
+            (pool_size, config.rec_height, config.rec_width), np.float32)
+        pool_labels = np.zeros((pool_size, max_label_len), np.int32)
+        pool_pad = np.ones((pool_size, max_label_len), np.float32)
+        for i in range(pool_size):
             text = synth_text(rng, config.charset)[:max_label_len] or "0"
-            images[b, :, :, 0] = _synth_crop(text, config, rng,
-                                             use_fonts=use_fonts)
+            # geometry only: photometrics are re-rolled per step
+            pool_images[i] = _synth_crop(text, config, rng,
+                                         use_fonts=use_fonts,
+                                         photometric=False)
             ids = config.encode(text)
-            labels[b, :len(ids)] = ids
-            label_pad[b, :len(ids)] = 0.0
+            pool_labels[i, :len(ids)] = ids
+            pool_pad[i, :len(ids)] = 0.0
+        pool = (pool_images, pool_labels, pool_pad)
+        logger.info("rec sample pool: %d crops rendered", pool_size)
+
+    for i in range(steps):
+        if pool is not None:
+            idx = rng.integers(0, pool_size, batch_size)
+            raw = pool[0][idx]
+            if use_fonts:   # vectorized per-step photometric jitter
+                gain = rng.uniform(0.6, 1.0, (batch_size, 1, 1))
+                bg = rng.uniform(0.0, 0.2, (batch_size, 1, 1))
+                raw = np.clip(raw * gain + bg
+                              + rng.normal(0, 0.02, raw.shape), 0.0, 1.0)
+            images = raw[..., None].astype(np.float32)
+            labels, label_pad = pool[1][idx], pool[2][idx]
+        else:
+            images = np.zeros(
+                (batch_size, config.rec_height, config.rec_width, 1),
+                np.float32)
+            labels = np.zeros((batch_size, max_label_len), np.int32)
+            label_pad = np.ones((batch_size, max_label_len), np.float32)
+            for b in range(batch_size):
+                text = synth_text(rng, config.charset)[:max_label_len] or "0"
+                images[b, :, :, 0] = _synth_crop(text, config, rng,
+                                                 use_fonts=use_fonts)
+                ids = config.encode(text)
+                labels[b, :len(ids)] = ids
+                label_pad[b, :len(ids)] = 0.0
         params, opt_state, loss = step_fn(
             params, opt_state, images, labels, label_pad)
         if log_every and (i + 1) % log_every == 0:
@@ -543,16 +732,46 @@ def train_recognizer(
 def render_frame(
     texts: list[str], config: OCRModelConfig,
     rng: np.random.Generator, font_size: Optional[int] = None,
+    distractors: bool = False,
+    use_fonts: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Canvas with text lines pasted at random spots + 1/4-res target mask."""
+    """Canvas with text lines pasted at random spots + 1/4-res target mask.
+
+    ``distractors`` draws game-frame clutter the detector must IGNORE:
+    a lifted noisy background (real frames are not black) and bright
+    entity-sized blobs.  Round 2's black-canvas-only detector saturated
+    its probability map on any non-black frame (measured: the whole map
+    fired on a 0.08–0.31 gray background)."""
     h, w, s = config.det_height, config.det_width, config.det_stride
     canvas = np.zeros((h, w), np.float32)
     target = np.zeros((h // s, w // s), np.float32)
+    if distractors:
+        canvas += float(rng.uniform(0.0, 0.3))
+        canvas += rng.normal(0, rng.uniform(0.005, 0.04), canvas.shape)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(int(rng.integers(0, 5))):
+            bh = int(rng.integers(12, 90))
+            bw = int(rng.integers(12, 90))
+            cy = int(rng.integers(0, h))
+            cx = int(rng.integers(0, w))
+            val = float(rng.uniform(0.3, 0.95))
+            if rng.random() < 0.5:   # ellipse
+                hit = (((xx - cx) / max(bw, 1)) ** 2
+                       + ((yy - cy) / max(bh, 1)) ** 2) <= 1.0
+            else:                    # rectangle
+                hit = ((np.abs(xx - cx) <= bw // 2)
+                       & (np.abs(yy - cy) <= bh // 2))
+            canvas[hit] = val
+        canvas = np.clip(canvas, 0.0, 1.0)
+    font_pool = discover_fonts() if use_fonts else []
     for text in texts:
         fs = font_size or int(rng.integers(12, 24))
         lh = fs + 16
         lw = min(fs * len(text) + 8, w // 2)
-        line = render_line(text, lh, lw, fs)
+        font_path = None
+        if font_pool and rng.random() < 0.4:
+            font_path = font_pool[int(rng.integers(0, len(font_pool)))]
+        line = render_line(text, lh, lw, fs, font_path=font_path)
         y = int(rng.integers(0, h - lh))
         x = int(rng.integers(0, w - lw))
         canvas[y:y + lh, x:x + lw] = np.maximum(
@@ -584,8 +803,12 @@ def train_detector(
     seed: int = 0,
     params: Optional[dict] = None,
     log_every: int = 0,
+    distractors: bool = False,
+    use_fonts: bool = False,
 ) -> dict:
-    """BCE-train the detector on synthetic pasted-text canvases."""
+    """BCE-train the detector on synthetic pasted-text canvases
+    (``distractors``/``use_fonts``: game-frame clutter + stylized
+    typefaces — the full-budget curriculum in scripts/train_ocr.py)."""
     import optax
 
     model = TextDetectorNet(config)
@@ -620,7 +843,9 @@ def train_detector(
             texts = [synth_text(rng, config.charset)
                      for _ in range(int(rng.integers(1, 4)))]
             images[b, :, :, 0], targets[b] = render_frame(
-                texts, config, rng)
+                texts, config, rng,
+                distractors=distractors and bool(rng.random() < 0.8),
+                use_fonts=use_fonts)
         params, opt_state, loss = step_fn(
             params, opt_state, images, targets)
         if log_every and (i + 1) % log_every == 0:
@@ -638,7 +863,7 @@ def evaluate_recognizer(
     """Held-out exact-match accuracy on synthetic detector-style crops
     (multi-font when ``use_fonts``)."""
     config = config or OCRModelConfig()
-    model = TextRecognizerNet(config)
+    model = make_recognizer(config)
     rng = np.random.default_rng(seed)
     run = jax.jit(lambda p, x: model.apply(p, x))
     correct = total = 0
@@ -655,7 +880,7 @@ def evaluate_recognizer(
                                              use_fonts=use_fonts)
         logits = np.asarray(run(params, images))
         for b in range(m):
-            pred, _ = ctc_greedy_decode(logits[b], config)
+            pred, _ = ctc_decode(logits[b], config)
             correct += int(pred == texts[b])
         total += m
     return {"exact_match": correct / total, "n": total,

@@ -240,17 +240,23 @@ class JaxSegmenterBackend:
             self._run = jax.jit(run, in_shardings=(
                 replicated, self._frame_sharding, replicated))
 
-    def __call__(self, frames, concepts, frame_indices):
+    def submit(self, frames, concepts):
+        """Host resize + upload + ASYNC device dispatch.
+
+        Returns an opaque handle for :meth:`collect` — the caller can
+        overlap host work (tracking, region prep) of the previous chunk
+        with this chunk's device compute.
+        """
         import jax.numpy as jnp
 
-        from gvl_tpu.runtime.native import resize_batch, resize_image
+        from gvl_tpu.runtime.native import resize_image
 
         size = self.config.image_size
-        if len({f.shape for f in frames}) == 1:
-            resized = resize_batch(np.stack(frames), size, size)
-        else:
-            resized = np.stack([
-                resize_image(f, size, size) for f in frames])
+        # resize per frame BEFORE stacking: the stack then copies
+        # size²-sized arrays, not full frames (measured host hot spot)
+        resized = np.stack([
+            resize_image(np.ascontiguousarray(f), size, size)
+            for f in frames])
         n_real = len(frames)
         pad = (-n_real) % self._data_size
         if pad:   # frame batch must divide the data axis
@@ -265,7 +271,11 @@ class JaxSegmenterBackend:
             import jax
 
             px = jax.device_put(px, self._frame_sharding)
-        out = self._run(self.variables, px, jnp.asarray(tokens))
+        return self._run(self.variables, px, jnp.asarray(tokens)), n_real
+
+    def collect(self, handle, frames, frame_indices, concepts):
+        """Block on the device result and run host-side NMS."""
+        out, n_real = handle
         small_masks = np.asarray(out["mask"], bool)[:n_real]
         scores = np.asarray(out["scores"], np.float32)[:n_real]
 
@@ -311,6 +321,10 @@ class JaxSegmenterBackend:
             results.append(per_frame)
         return results
 
+    def __call__(self, frames, concepts, frame_indices):
+        return self.collect(self.submit(frames, concepts),
+                            frames, frame_indices, concepts)
+
 
 class SAMConceptSegmenter:
     """Text-prompted segmentation with persistent entity tracking.
@@ -342,8 +356,14 @@ class SAMConceptSegmenter:
     def _match_detection_to_entity(
         self, mask: SegmentationMask, concept_label: str, frame_idx: int
     ) -> Optional[TrackedEntity]:
-        """Best same-concept entity by mask IoU within the memory window."""
+        """Best same-concept entity by mask IoU within the memory window.
+
+        Exact bbox pre-gate: a mask lives inside its bbox, so disjoint
+        bboxes imply mask IoU 0 — the full-resolution pixel IoU (the
+        measured host hot spot at 48-frame chunks) only runs for
+        candidates whose boxes actually overlap."""
         best, best_iou = None, 0.0
+        box = mask.bbox
         for entity in self._tracked_entities.values():
             if entity.concept_label != concept_label:
                 continue
@@ -354,6 +374,10 @@ class SAMConceptSegmenter:
             last_mask = entity.get_mask_at_frame(entity.last_seen_frame)
             if last_mask is None:
                 continue
+            other = last_mask.bbox
+            if (box.x_max <= other.x_min or other.x_max <= box.x_min
+                    or box.y_max <= other.y_min or other.y_max <= box.y_min):
+                continue   # disjoint boxes → mask IoU is exactly 0
             iou = mask_iou(mask.mask, last_mask.mask)
             if iou > best_iou and iou > self.config.match_iou_threshold:
                 best, best_iou = entity, iou
@@ -399,6 +423,17 @@ class SAMConceptSegmenter:
         """Batched path: ONE backend call for all frames × concepts, then
         sequential tracking over frames."""
         raw = self.backend(np.stack(frames), concept_prompts, frame_indices)
+        return self.ingest_raw(raw, frame_indices, concept_prompts)
+
+    def ingest_raw(
+        self,
+        raw: list,                       # [frame][concept][det] dicts
+        frame_indices: list[int],
+        concept_prompts: list[str],
+    ) -> list[list[TrackedEntity]]:
+        """Tracking over pre-computed backend detections (the host half
+        of :meth:`segment_batch`; lets callers pipeline the device half
+        via ``backend.submit``/``backend.collect``)."""
         all_results = []
         for frame_pos, frame_idx in enumerate(frame_indices):
             self._current_frame = frame_idx

@@ -34,9 +34,12 @@ class NaFlexConfig:
     model_name: str = "google/siglip2-so400m-patch14-384"
     dtype: str = "bfloat16"
     base_resolution: int = 384
-    # regions are small crops: encoding them on a 224 canvas costs ~35% of
-    # the 384 FLOPs ((16/27)^2 tokens) with negligible detail loss
-    region_resolution: int = 224
+    # regions are small crops (HUD-scale objects, typically 30-100 px):
+    # encoding them on a 128 canvas costs (9/27)² ≈ 11% of the 384-canvas
+    # FLOPs.  Measured effects: perception e2e 27.5 → 33.6 fps on one
+    # v5e (48-frame chunks), top-1 neighbor agreement vs 224-canvas
+    # embeddings reported in ROADMAP ("Perception e2e round 3")
+    region_resolution: int = 128
     min_resolution: int = 128
     max_resolution: int = 768
     preserve_aspect_ratio: bool = True

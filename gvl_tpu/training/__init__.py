@@ -3,6 +3,7 @@
 from gvl_tpu.training.projector_train import (
     MultimodalProjectorDataset,
     ProjectorTrainer,
+    evaluate_retrieval,
     ProjectorTrainingConfig,
 )
 from gvl_tpu.training.lora_train import (
@@ -15,6 +16,7 @@ __all__ = [
     "ProjectorTrainingConfig",
     "MultimodalProjectorDataset",
     "ProjectorTrainer",
+    "evaluate_retrieval",
     "LoraTrainingConfig",
     "LoraTrainer",
     "load_chat_training_data",

@@ -43,6 +43,14 @@ class ProjectorTrainingConfig:
     llm_dim: int = 4096  # single source of truth (COMPAT.md #4)
     seed: int = 0
     output_path: str = "outputs/projector_weights.pt"
+    # no-LLM fallback objective: "cosine" = in-batch contrastive
+    # alignment against the deterministic hashing text space (measurable
+    # retrieval, the reference's middle fallback rung,
+    # `train_projectors.py:589-608`); "norm" = the last-resort norm
+    # calibration only
+    objective: str = "cosine"
+    text_dim: int = 256
+    temperature: float = 0.07
 
 
 class MultimodalProjectorDataset:
@@ -117,6 +125,67 @@ class MultimodalProjectorDataset:
         return len(self.samples)
 
 
+def text_projection_matrix(llm_dim: int, text_dim: int) -> jnp.ndarray:
+    """FIXED seeded random map LLM-space → text-space, shared by the
+    cosine objective and retrieval evaluation (never trained)."""
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((llm_dim, text_dim)).astype(np.float32)
+    return jnp.asarray(mat / np.sqrt(llm_dim))
+
+
+_PROJECT_METHOD = {"siglip": "project_region",
+                   "videomae": "project_videomae",
+                   "audio": "project_audio"}
+
+
+def evaluate_retrieval(
+    bank,
+    dataset: "MultimodalProjectorDataset",
+    text_dim: int = 256,
+    llm_dim: int = 4096,
+    max_rows: int = 512,
+    ks: tuple[int, ...] = (1, 5),
+) -> dict:
+    """Projected embedding → nearest timeline texts: top-k accuracy.
+
+    The measurable-alignment metric VERDICT r2 #5 asks for: each saved
+    encoder embedding is projected through the bank, mapped into the
+    hashing text space by the fixed matrix, and ranked against the
+    UNIQUE timeline texts of its modality; correct = its own paired text
+    in the top k.  Chance = k / #unique.
+    """
+    from gvl_tpu.agent.retriever import HashingTextEmbedder
+
+    embedder = HashingTextEmbedder(text_dim)
+    proj_map = np.asarray(text_projection_matrix(llm_dim, text_dim))
+    out: dict[str, dict] = {}
+    for modality, method in _PROJECT_METHOD.items():
+        rows = [s for s in dataset.samples
+                if s["modality"] == modality][:max_rows]
+        if len(rows) < 4:
+            continue
+        texts = [r["text"] for r in rows]
+        uniq = sorted(set(texts))
+        if len(uniq) < 2:
+            continue
+        cand = embedder.encode(uniq)                     # [U, d], L2
+        own = np.asarray([uniq.index(t) for t in texts])
+        embs = np.stack([r["embedding"] for r in rows])
+        projected = np.asarray(getattr(bank, method)(embs), np.float32)
+        mapped = projected @ proj_map
+        mapped /= np.maximum(
+            np.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
+        sims = mapped @ cand.T                           # [N, U]
+        ranks = np.argsort(-sims, axis=1)
+        metrics = {"rows": len(rows), "unique_texts": len(uniq)}
+        for k in ks:
+            hits = np.any(ranks[:, :k] == own[:, None], axis=1)
+            metrics[f"top{k}"] = float(hits.mean())
+            metrics[f"chance_top{k}"] = min(k / len(uniq), 1.0)
+        out[modality] = metrics
+    return out
+
+
 class ProjectorTrainer:
     """Generative-alignment training loop over a frozen LLM.
 
@@ -183,6 +252,35 @@ class ProjectorTrainer:
                 return (ce * target_mask).sum() / jnp.maximum(
                     target_mask.sum(), 1.0
                 )
+        elif self.config.objective == "cosine":
+            # in-batch symmetric InfoNCE against the hashing text space:
+            # the projected embedding must retrieve ITS timeline text
+            # among the batch.  The 4096→text_dim map is a FIXED seeded
+            # random projection shared by training and evaluation.
+            proj_map = text_projection_matrix(target_dim,
+                                              self.config.text_dim)
+            temp = self.config.temperature
+
+            def loss_fn(params, emb, text_emb, target_mask):
+                del target_mask
+                projected = module.apply({"params": params}, emb)
+                mapped = projected @ proj_map.astype(projected.dtype)
+                mapped = mapped / jnp.maximum(
+                    jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
+                logits = mapped @ text_emb.T / temp          # [B, B]
+                # duplicate texts in a batch are NOT negatives of each
+                # other (timeline events repeat): mask off-diagonal pairs
+                # whose targets coincide
+                same = (text_emb @ text_emb.T) > 0.999
+                b = logits.shape[0]
+                eye = jnp.eye(b, dtype=bool)
+                logits = jnp.where(same & ~eye, -1e30, logits)
+                labels = jnp.arange(b)
+                ce_a = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels)
+                ce_b = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.T, labels)
+                return (ce_a + ce_b).mean() / 2.0
         else:
 
             def loss_fn(params, emb, token_ids, target_mask):
@@ -235,11 +333,24 @@ class ProjectorTrainer:
                 for batch in dataset.batches(
                     modality, self.config.batch_size, rng
                 ):
-                    ids, mask = self._tokenize_batch(batch["text"])
+                    if (self.llm is None
+                            and self.config.objective == "cosine"):
+                        from gvl_tpu.agent.retriever import (
+                            HashingTextEmbedder,
+                        )
+
+                        if not hasattr(self, "_text_embedder"):
+                            self._text_embedder = HashingTextEmbedder(
+                                self.config.text_dim)
+                        aux1 = jnp.asarray(
+                            self._text_embedder.encode(batch["text"]))
+                        aux2 = jnp.zeros((len(batch["text"]),))
+                    else:
+                        ids, mask = self._tokenize_batch(batch["text"])
+                        aux1, aux2 = jnp.asarray(ids), jnp.asarray(mask)
                     params, opt_states[modality], loss = step(
                         self.bank.params[modality], opt_states[modality],
-                        jnp.asarray(batch["embedding"]),
-                        jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.asarray(batch["embedding"]), aux1, aux2,
                     )
                     self.bank.params[modality] = params
                     loss = float(loss)

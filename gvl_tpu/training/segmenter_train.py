@@ -51,6 +51,9 @@ class SegTrainConfig:
     log_every: int = 100
     # max instances drawn per concept per frame (boss capped at 1)
     max_draw: int = 2
+    # style families sampled during training — "holdout" must never
+    # appear here (it is the out-of-distribution eval family)
+    styles: tuple[str, ...] = ("base", "aug")
 
 
 # --------------------------------------------------------------------------
@@ -75,17 +78,95 @@ def _draw(kind: str, canvas: np.ndarray, mask: np.ndarray,
     mask |= hit
 
 
+STYLES = ("base", "aug", "holdout")
+
+
+def _draw_styled(kind: str, frame: np.ndarray, mask: np.ndarray,
+                 cx: int, cy: int, r: int, color: np.ndarray,
+                 rng: np.random.Generator, style: str) -> None:
+    """Concept signature (shape + base color) rendered in a style family:
+    filled (base), gradient/outlined (aug), washed ring-fill (holdout).
+    The GT mask is always the full shape extent."""
+    h, w = mask.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == "square":
+        hit = (np.abs(xx - cx) <= r) & (np.abs(yy - cy) <= r)
+        inner = (np.abs(xx - cx) <= r - 3) & (np.abs(yy - cy) <= r - 3)
+    elif kind == "triangle":
+        hit = ((yy >= cy - r) & (yy <= cy + r)
+               & (np.abs(xx - cx) <= (yy - (cy - r)) / 2))
+        inner = ((yy >= cy - r + 3) & (yy <= cy + r - 3)
+                 & (np.abs(xx - cx) <= (yy - (cy - r + 3)) / 2 - 1))
+    elif kind == "ellipse":
+        hit = (((xx - cx) / max(r, 1)) ** 2
+               + ((yy - cy) / max(r * 0.7, 1)) ** 2) <= 1.0
+        inner = (((xx - cx) / max(r - 3, 1)) ** 2
+                 + ((yy - cy) / max((r - 3) * 0.7, 1)) ** 2) <= 1.0
+    else:  # diamond
+        hit = (np.abs(xx - cx) + np.abs(yy - cy)) <= r
+        inner = (np.abs(xx - cx) + np.abs(yy - cy)) <= r - 3
+    fill = np.asarray(color, np.float32)
+    if style == "base":
+        frame[hit] = color
+    elif style == "aug":
+        mode = rng.random()
+        if mode < 0.35:      # vertical gradient fill
+            grad = 0.55 + 0.45 * np.clip(
+                (yy - (cy - r)) / max(2 * r, 1), 0, 1)
+            frame[hit] = np.clip(
+                fill[None] * grad[hit][:, None], 0, 255).astype(np.uint8)
+        elif mode < 0.6:     # outline-only rendering
+            ring = hit & ~inner
+            frame[ring] = color
+            frame[inner] = np.clip(fill * 0.35, 0, 255).astype(np.uint8)
+        else:
+            frame[hit] = color
+    else:  # holdout: washed fill + bright ring, never seen in training
+        ring = hit & ~inner
+        washed = np.clip(fill * 0.55 + 90.0, 0, 255).astype(np.uint8)
+        frame[inner] = washed
+        frame[ring] = np.clip(fill * 1.2 + 30, 0, 255).astype(np.uint8)
+    mask |= hit
+
+
 def make_scene(
-    rng: np.random.Generator, size: int, max_draw: int = 2
+    rng: np.random.Generator, size: int, max_draw: int = 2,
+    style: str = "base",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One scene: (uint8 frame [S,S,3], gt_masks [C,I,S,S] bool,
-    gt_valid [C,I] bool).  Includes concept-free distractor shapes."""
-    frame = rng.integers(15, 70, (size, size, 3)).astype(np.uint8)
-    # background texture: a few dim rectangles
-    for _ in range(rng.integers(2, 5)):
-        x, y = rng.integers(0, size, 2)
-        w, h = rng.integers(10, size // 3, 2)
-        frame[y:y + h, x:x + w] = rng.integers(20, 90, 3)
+    gt_valid [C,I] bool).  Includes concept-free distractor shapes.
+
+    ``style`` selects a rendering family.  "base" is the round-2
+    distribution; "aug" adds gradients/outlines/striped backgrounds
+    (used in training); "holdout" is a family the trainer NEVER samples
+    (checkerboard backgrounds, washed ring-rendered entities, ring
+    distractors, gamma warp) — the out-of-distribution transfer proxy
+    while real gameplay data is unreachable (VERDICT r2 #8)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    if style == "holdout":
+        tile = int(rng.integers(14, 34))
+        c0 = rng.integers(10, 55, 3).astype(np.float32)
+        c1 = rng.integers(35, 95, 3).astype(np.float32)
+        checker = ((yy // tile + xx // tile) % 2).astype(np.float32)
+        frame = (c0[None, None] * (1 - checker[..., None])
+                 + c1[None, None] * checker[..., None]).astype(np.uint8)
+        grid = ((yy % tile == 0) | (xx % tile == 0))
+        frame[grid] = np.clip(frame[grid].astype(np.int32) + 40, 0, 255
+                              ).astype(np.uint8)
+    elif style == "aug" and rng.random() < 0.5:
+        period = int(rng.integers(8, 24))
+        stripes = (((yy + xx) // period) % 2).astype(np.uint8)
+        lo = rng.integers(15, 50, 3)
+        hi = rng.integers(40, 100, 3)
+        frame = (lo[None, None] + (hi - lo)[None, None]
+                 * stripes[..., None]).astype(np.uint8)
+    else:
+        frame = rng.integers(15, 70, (size, size, 3)).astype(np.uint8)
+        # background texture: a few dim rectangles
+        for _ in range(rng.integers(2, 5)):
+            x, y = rng.integers(0, size, 2)
+            w, h = rng.integers(10, size // 3, 2)
+            frame[y:y + h, x:x + w] = rng.integers(20, 90, 3)
 
     gt_masks = np.zeros((len(CONCEPTS), MAX_INST, size, size), bool)
     gt_valid = np.zeros((len(CONCEPTS), MAX_INST), bool)
@@ -103,24 +184,34 @@ def make_scene(
             color = np.clip(np.asarray(base) + jitter, 0, 255
                             ).astype(np.uint8)
             m = np.zeros((size, size), bool)
-            _draw(kind, frame, m, cx, cy, r, color)
+            _draw_styled(kind, frame, m, cx, cy, r, color, rng, style)
             gt_masks[ci, i] = m
             gt_valid[ci, i] = True
-    # distractors: gray circles that belong to no concept — drawn OVER
-    # the entities so some instances are partially occluded (the GT mask
-    # keeps the full extent, teaching amodal robustness)
-    yy, xx = np.mgrid[0:size, 0:size]
+    # distractors: concept-free shapes drawn OVER the entities so some
+    # instances are partially occluded (the GT mask keeps the full
+    # extent, teaching amodal robustness)
     for _ in range(rng.integers(1, 4)):
         lo = max(2, size // 32)
         r = int(rng.integers(lo, max(lo + 2, size // 13)))
         cx, cy = rng.integers(r, size - r, 2)
-        hit = ((xx - cx) ** 2 + (yy - cy) ** 2) <= r * r
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        if style == "holdout":   # rings, not disks
+            hit = (d2 <= r * r) & (d2 >= (max(r - 3, 1)) ** 2)
+        else:
+            hit = d2 <= r * r
         frame[hit] = rng.integers(110, 160, 3).astype(np.uint8)
-    # mild global perturbations: brightness jitter + pixel noise
-    gain = rng.uniform(0.8, 1.2)
-    noise = rng.normal(0, 6, frame.shape)
-    frame = np.clip(frame.astype(np.float32) * gain + noise,
-                    0, 255).astype(np.uint8)
+    # global perturbations per style family
+    if style == "holdout":
+        gamma = rng.uniform(0.75, 1.3)
+        warped = 255.0 * (frame.astype(np.float32) / 255.0) ** gamma
+        noise = rng.normal(0, 8, frame.shape)
+        frame = np.clip(warped + noise, 0, 255).astype(np.uint8)
+    else:
+        gain = rng.uniform(0.8, 1.2)
+        sigma = rng.uniform(2, 12) if style == "aug" else 6
+        noise = rng.normal(0, sigma, frame.shape)
+        frame = np.clip(frame.astype(np.float32) * gain + noise,
+                        0, 255).astype(np.uint8)
     return frame, gt_masks, gt_valid
 
 
@@ -134,7 +225,9 @@ def make_batch(rng: np.random.Generator, cfg: SegTrainConfig, model_cfg:
     stride = model_cfg.mask_downscale
     frames, gts, valids = [], [], []
     for _ in range(cfg.batch_size):
-        frame, gt, valid = make_scene(rng, cfg.image_size, cfg.max_draw)
+        style = cfg.styles[int(rng.integers(0, len(cfg.styles)))]
+        frame, gt, valid = make_scene(rng, cfg.image_size, cfg.max_draw,
+                                      style=style)
         frames.append(frame)
         gts.append(gt[:, :, ::stride, ::stride][:, :, :ms, :ms])
         valids.append(valid)
@@ -263,9 +356,11 @@ def evaluate_segmenter(
     n_scenes: int = 32,
     seed: int = 1234,
     score_threshold: float = 0.5,
+    style: str = "base",
 ) -> dict:
     """Held-out synthetic eval: per-GT-instance best IoU over predictions
-    that clear the score threshold, plus cross-concept confusion."""
+    that clear the score threshold.  ``style="holdout"`` evaluates the
+    never-trained rendering family (out-of-style transfer)."""
     model_cfg = model_cfg or SamConfig()
     model = PromptableSegmenter(model_cfg)
     rng = np.random.default_rng(seed)
@@ -277,7 +372,8 @@ def evaluate_segmenter(
     stride = model_cfg.mask_downscale
     ious, detected, total = [], 0, 0
     for _ in range(n_scenes):
-        frame, gt_masks, gt_valid = make_scene(rng, model_cfg.image_size)
+        frame, gt_masks, gt_valid = make_scene(rng, model_cfg.image_size,
+                                               style=style)
         out = run(variables, jnp.asarray(
             frame[None].astype(np.float32) / 255.0))
         probs = np.asarray(jax.nn.sigmoid(out["mask_logits"]))[0] > 0.5

@@ -5,11 +5,16 @@ Fully offline: samples are PIL-rendered strings (health bars, damage
 numbers, timers, currency).  The reference downloads PaddleOCR's
 pretrained CNNs instead (``/root/reference/src/perception/
 ocr_pipeline.py:241-297``); this trains an equivalent-role pair from
-scratch in minutes.
+scratch.
+
+The default configuration is the round-3 UNIFIED model: the v2
+recognizer (wider convs + transformer context) on the combined
+clean+multifont curriculum, and a detector trained against noisy
+backgrounds and entity-shaped distractors — one checkpoint for both
+regimes instead of round 2's two forks.
 
 Usage:
-    python scripts/train_ocr.py --out outputs/ocr_params.npz \
-        --rec-steps 2000 --det-steps 600
+    python scripts/train_ocr.py --out outputs/ocr_params.npz
 """
 
 from __future__ import annotations
@@ -39,34 +44,48 @@ logger = logging.getLogger("train_ocr")
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", default="outputs/ocr_params.npz")
-    parser.add_argument("--rec-steps", type=int, default=2000)
-    parser.add_argument("--det-steps", type=int, default=600)
-    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--rec-steps", type=int, default=12000)
+    parser.add_argument("--det-steps", type=int, default=2000)
+    parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--arch", default="v2", choices=["crnn", "v2"],
+                        help="recognizer architecture (v2 = conv + "
+                             "transformer context, the unified default)")
+    parser.add_argument("--pool-size", type=int, default=30000,
+                        help="pre-rendered crop pool (0 = render every "
+                             "batch on the fly; PIL is the bottleneck)")
     parser.add_argument("--fonts", dest="fonts", action="store_true",
                         default=True,
-                        help="train on the multi-font curriculum (default)")
+                        help="combined clean+multifont curriculum "
+                             "(default; the unified checkpoint)")
     parser.add_argument("--no-fonts", dest="fonts", action="store_false",
-                        help="train on the default PIL font only — this is "
-                             "the configuration that produced the shipped "
-                             "clean-HUD checkpoint outputs/ocr_params.npz")
+                        help="default PIL font only — the round-2 "
+                             "clean-HUD configuration")
+    parser.add_argument("--distractors", dest="distractors",
+                        action="store_true", default=True,
+                        help="detector curriculum: noisy backgrounds + "
+                             "entity-shaped clutter (default)")
+    parser.add_argument("--no-distractors", dest="distractors",
+                        action="store_false")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
 
-    config = OCRModelConfig()
+    config = OCRModelConfig(rec_arch=args.arch)
     t0 = time.time()
-    logger.info("training recognizer (%d steps, charset %d chars)",
-                args.rec_steps, len(config.charset))
+    logger.info("training %s recognizer (%d steps, charset %d chars)",
+                args.arch, args.rec_steps, len(config.charset))
     rec = train_recognizer(
         config, steps=args.rec_steps, batch_size=args.batch_size,
-        learning_rate=args.lr, seed=args.seed, log_every=200,
-        use_fonts=args.fonts)
-    logger.info("training detector (%d steps)", args.det_steps)
+        learning_rate=args.lr, seed=args.seed, log_every=500,
+        use_fonts=args.fonts, pool_size=args.pool_size)
+    logger.info("training detector (%d steps, distractors=%s)",
+                args.det_steps, args.distractors)
     det = train_detector(
         config, steps=args.det_steps, batch_size=8,
-        learning_rate=args.lr, seed=args.seed + 1, log_every=100)
+        learning_rate=args.lr, seed=args.seed + 1, log_every=250,
+        distractors=args.distractors, use_fonts=args.fonts)
     from gvl_tpu.perception.ocr_model import evaluate_recognizer
 
     for fonts in (False, True):

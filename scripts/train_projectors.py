@@ -24,6 +24,7 @@ from gvl_tpu.training import (
     MultimodalProjectorDataset,
     ProjectorTrainer,
     ProjectorTrainingConfig,
+    evaluate_retrieval,
 )
 
 
@@ -35,8 +36,14 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--llm-checkpoint", default=None,
-                        help="frozen LLM for generative alignment "
-                             "(norm-regularization fallback without it)")
+                        help="frozen LLM for generative alignment; "
+                             "without it the cosine-contrastive "
+                             "objective against the hashing text space "
+                             "runs (measurable retrieval), --objective "
+                             "norm for calibration only")
+    parser.add_argument("--objective", default="cosine",
+                        choices=["cosine", "norm"],
+                        help="no-LLM fallback objective")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -61,10 +68,15 @@ def main(argv=None) -> int:
         ProjectorTrainingConfig(
             epochs=args.epochs, batch_size=args.batch_size,
             learning_rate=args.lr, output_path=args.output,
+            objective=args.objective,
         ),
         llm=llm,
     )
+    before = evaluate_retrieval(trainer.bank, dataset)
+    print("retrieval before training:", before)
     result = trainer.train(dataset)
+    after = evaluate_retrieval(trainer.bank, dataset)
+    print("retrieval after training:", after)
     print(f"done: best_loss={result['best_loss']:.4f} -> {args.output}")
     return 0
 

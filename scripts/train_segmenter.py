@@ -48,21 +48,31 @@ def main(argv=None) -> int:
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval-scenes", type=int, default=32)
+    parser.add_argument("--styles", nargs="*", default=["base", "aug"],
+                        help="training style families ('holdout' is the "
+                             "out-of-distribution eval family — do not "
+                             "train on it)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
+    if "holdout" in args.styles:
+        parser.error("'holdout' is the held-out eval family")
 
     model_cfg = SamConfig()
     train_cfg = SegTrainConfig(
         image_size=model_cfg.image_size, steps=args.steps,
-        batch_size=args.batch_size, learning_rate=args.lr, seed=args.seed)
+        batch_size=args.batch_size, learning_rate=args.lr, seed=args.seed,
+        styles=tuple(args.styles))
     t0 = time.time()
     variables = train_segmenter(model_cfg, train_cfg)
     logger.info("trained in %.1f s", time.time() - t0)
 
-    metrics = evaluate_segmenter(variables, model_cfg,
-                                 n_scenes=args.eval_scenes)
-    logger.info("held-out synthetic eval: %s", metrics)
+    for style in ("base", "holdout"):
+        metrics = evaluate_segmenter(variables, model_cfg,
+                                     n_scenes=args.eval_scenes,
+                                     style=style)
+        logger.info("held-out synthetic eval (%s style): %s",
+                    style, metrics)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
