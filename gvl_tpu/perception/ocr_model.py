@@ -512,12 +512,57 @@ _HUD_TEMPLATES = (
     "{c}%", "{c}%", "{a}%",
 )
 
+_HUD_WORDS = (
+    "SCORE", "AMMO", "GOLD", "LEVEL", "WAVE", "COMBO", "XP", "KILLS",
+    "PING", "FPS", "TIME", "BONUS", "ARMOR", "ENERGY", "SHIELD", "COINS",
+    "STAGE", "LIVES", "MANA", "RAGE", "EXP", "DMG", "CRIT", "SPD",
+)
 
-def synth_text(rng: np.random.Generator, charset: str) -> str:
-    tpl = _HUD_TEMPLATES[rng.integers(0, len(_HUD_TEMPLATES))]
-    text = tpl.format(a=rng.integers(1, 999), b=rng.integers(1, 999),
-                      c=rng.integers(0, 99), d=f"{rng.integers(0, 59):02d}")
-    return "".join(c for c in text if c in charset)
+
+def synth_text(rng: np.random.Generator, charset: str,
+               open_vocab: bool = True) -> str:
+    """HUD-style strings with open vocabulary.
+
+    Three regimes: classic numeric templates, word+number HUD labels,
+    and pure random charset strings.  The random share is load-bearing:
+    without it the recognizer's context layer memorizes the template
+    vocabulary and 'corrects' unseen words into template glyph patterns
+    (measured round 3: a template-only model read 100% on its own
+    distribution and garbled every novel word like 'SCORE').
+
+    ``open_vocab=False`` restricts to the numeric-template regime —
+    the easy distribution micro-budget tests can learn in a few
+    hundred steps; the shipped checkpoint trains with it on."""
+    r = rng.random() if open_vocab else 0.0
+    if r < 0.35:
+        tpl = _HUD_TEMPLATES[rng.integers(0, len(_HUD_TEMPLATES))]
+        text = tpl.format(a=rng.integers(1, 999), b=rng.integers(1, 999),
+                          c=rng.integers(0, 99),
+                          d=f"{rng.integers(0, 59):02d}")
+    elif r < 0.70:
+        word = _HUD_WORDS[rng.integers(0, len(_HUD_WORDS))]
+        if rng.random() < 0.3:
+            word = word.capitalize() if rng.random() < 0.5 else word.lower()
+        form = rng.random()
+        if form < 0.4:
+            text = f"{word} {rng.integers(0, 9999)}"
+        elif form < 0.6:
+            text = f"{word} {rng.integers(1, 999)}/{rng.integers(1, 999)}"
+        elif form < 0.8:
+            text = f"{word} x{rng.integers(2, 99)}"
+        else:
+            text = word
+    else:
+        # open-vocabulary: random charset strings (no leading/trailing
+        # spaces, at most one space run)
+        glyphs = charset.replace(" ", "")
+        n = int(rng.integers(3, 13))
+        chars = [glyphs[int(rng.integers(0, len(glyphs)))]
+                 for _ in range(n)]
+        if n >= 5 and rng.random() < 0.5:
+            chars[int(rng.integers(1, n - 1))] = " "
+        text = "".join(chars).strip()
+    return "".join(c for c in text if c in charset) or "0"
 
 
 _FONT_POOL: Optional[list] = None
@@ -635,6 +680,30 @@ def _synth_crop(
     return crop_to_input(crop.astype(np.float32), config)
 
 
+def _synth_negative_crop(
+    config: OCRModelConfig, rng: np.random.Generator
+) -> np.ndarray:
+    """Non-text crop (entity blob / edge / noise) whose CTC target is
+    EMPTY — teaches the recognizer to emit blanks when the detector
+    hands it game imagery instead of text."""
+    h = int(rng.integers(16, 40))
+    w = int(rng.integers(16, 140))
+    img = np.zeros((h, w), np.float32)
+    kind = rng.random()
+    if kind < 0.4:        # solid bright rectangle (HUD bar / entity)
+        img[:] = float(rng.uniform(0.3, 1.0))
+    elif kind < 0.7:      # ellipse on dark background
+        yy, xx = np.mgrid[0:h, 0:w]
+        cy, cx = h // 2, w // 2
+        hit = (((xx - cx) / max(w // 2, 1)) ** 2
+               + ((yy - cy) / max(h // 2, 1)) ** 2) <= 1.0
+        img[hit] = float(rng.uniform(0.4, 1.0))
+    else:                 # structured noise
+        img = rng.uniform(0, rng.uniform(0.3, 0.8), (h, w)).astype(
+            np.float32)
+    return crop_to_input(img, config)
+
+
 def train_recognizer(
     config: OCRModelConfig,
     steps: int = 600,
@@ -646,6 +715,8 @@ def train_recognizer(
     log_every: int = 0,
     use_fonts: bool = False,
     pool_size: int = 0,
+    open_vocab: bool = True,
+    negative_frac: float = 0.07,
 ) -> dict:
     """CTC-train the recognizer on synthetic detector-style crops.
 
@@ -656,7 +727,12 @@ def train_recognizer(
     ``pool_size`` pre-renders that many (crop, label) pairs once and
     samples batches from the pool with fresh per-step photometric jitter
     — PIL rendering on one host core is otherwise the training
-    bottleneck at the step budgets the v2 recognizer needs."""
+    bottleneck at the step budgets the v2 recognizer needs.
+
+    ``open_vocab`` / ``negative_frac`` select the v3 curriculum
+    (random-string texts + non-text crops with empty CTC targets);
+    micro-budget tests turn both off to keep the learnable
+    distribution small."""
     import optax
 
     model = make_recognizer(config)
@@ -687,7 +763,11 @@ def train_recognizer(
         pool_labels = np.zeros((pool_size, max_label_len), np.int32)
         pool_pad = np.ones((pool_size, max_label_len), np.float32)
         for i in range(pool_size):
-            text = synth_text(rng, config.charset)[:max_label_len] or "0"
+            if rng.random() < negative_frac:  # non-text → empty target
+                pool_images[i] = _synth_negative_crop(config, rng)
+                continue
+            text = synth_text(rng, config.charset,
+                              open_vocab=open_vocab)[:max_label_len] or "0"
             # geometry only: photometrics are re-rolled per step
             pool_images[i] = _synth_crop(text, config, rng,
                                          use_fonts=use_fonts,
@@ -716,7 +796,12 @@ def train_recognizer(
             labels = np.zeros((batch_size, max_label_len), np.int32)
             label_pad = np.ones((batch_size, max_label_len), np.float32)
             for b in range(batch_size):
-                text = synth_text(rng, config.charset)[:max_label_len] or "0"
+                if rng.random() < negative_frac:
+                    images[b, :, :, 0] = _synth_negative_crop(config, rng)
+                    continue
+                text = synth_text(rng, config.charset,
+                                  open_vocab=open_vocab)[:max_label_len] \
+                    or "0"
                 images[b, :, :, 0] = _synth_crop(text, config, rng,
                                                  use_fonts=use_fonts)
                 ids = config.encode(text)

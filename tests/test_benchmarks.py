@@ -198,7 +198,8 @@ class TestPerceptionCache:
 class TestModelConfigs:
     def test_registry(self):
         assert set(list_model_configs()) == {
-            "baseline_plain", "gvp_light", "gvp_full"}
+            "baseline_plain", "gvp_light", "gvp_full",
+            "synthetic_gate"}
         base = get_model_config("baseline_plain")
         assert not base.use_timeline and not base.use_sam
         full = get_model_config("gvp_full")

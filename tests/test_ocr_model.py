@@ -29,7 +29,11 @@ TEST_CFG = OCRModelConfig(charset="0123456789 /:HPMLVgold+-",
 
 @pytest.fixture(scope="module")
 def trained():
-    rec = train_recognizer(TEST_CFG, steps=800, batch_size=32, seed=0)
+    # template regime + no negatives: the distribution a micro step
+    # budget can learn (the shipped checkpoint uses the full v3
+    # open-vocab curriculum via scripts/train_ocr.py)
+    rec = train_recognizer(TEST_CFG, steps=800, batch_size=32, seed=0,
+                           open_vocab=False, negative_frac=0.0)
     det = train_detector(TEST_CFG, steps=300, batch_size=8, seed=1)
     return {"detector": det, "recognizer": rec}
 
@@ -79,7 +83,8 @@ class TestRecognizer:
         rng = np.random.default_rng(99)
         ok = 0
         for _ in range(10):
-            text = synth_text(rng, TEST_CFG.charset)[:16] or "0"
+            text = synth_text(rng, TEST_CFG.charset,
+                              open_vocab=False)[:16] or "0"
             # the recognizer's input contract is a detector-style tight
             # crop through crop_to_input — mirror it
             line = render_line(text, 40, 16 * len(text) + 16, 16)
@@ -116,7 +121,7 @@ class TestEndToEnd:
         rng = np.random.default_rng(5)
         hits = total = 0
         for _ in range(6):
-            text = synth_text(rng, TEST_CFG.charset)
+            text = synth_text(rng, TEST_CFG.charset, open_vocab=False)
             canvas, _ = render_frame([text], TEST_CFG, rng)
             dets = engine((canvas * 255).astype(np.uint8))
             total += 1
