@@ -315,6 +315,21 @@ class Qwen3ChatBackend:
 
     def stream(self, messages, config, inputs_embeds_prefix=None):
         ids = self._render(messages)
+        limit = getattr(getattr(self.engine, "config", None),
+                        "max_cache_length", None)
+        if limit:
+            # keep the prompt TAIL (the question + recent context) and
+            # reserve decode room — an over-long prompt must degrade,
+            # not crash the engine with a cache-overflow error
+            n_prefix = (0 if inputs_embeds_prefix is None
+                        else int(np.shape(inputs_embeds_prefix)[0]))
+            keep = max(limit - config.max_new_tokens - n_prefix,
+                       limit // 2)
+            if len(ids) > keep:
+                logger.warning(
+                    "prompt %d tokens > budget %d (cache %d); "
+                    "front-trimming", len(ids), keep, limit)
+                ids = ids[-keep:]
         produced: list[int] = []
         emitted = 0
         if inputs_embeds_prefix is None and self.spec_engine is not None:
@@ -747,6 +762,12 @@ class ReasoningCore:
         }
 
 
+def _is_qa_lm(path: str) -> bool:
+    from gvl_tpu.training.qa_lm_train import is_qa_lm_checkpoint
+
+    return is_qa_lm_checkpoint(path)
+
+
 def create_reasoning_core(
     config: Optional[ReasoningCoreConfig] = None,
     checkpoint_path: Optional[str] = None,
@@ -784,6 +805,17 @@ def create_reasoning_core(
             vision_start_id=hf.config.vision_start_token_id,
             vision_end_id=hf.config.vision_end_token_id,
         )
+    elif checkpoint_path and _is_qa_lm(checkpoint_path):
+        # self-trained byte-level QA LM (scripts/train_qa_lm.py): real
+        # learned weights through the same engine + backend stack
+        from gvl_tpu.models.byte_tokenizer import EOS_ID, ByteTokenizer
+        from gvl_tpu.models.qwen3 import Qwen3Engine
+        from gvl_tpu.training.qa_lm_train import load_qa_lm
+
+        model_config, params = load_qa_lm(checkpoint_path)
+        engine = Qwen3Engine(model_config, {"params": params},
+                             eos_token_id=EOS_ID)
+        backend = Qwen3ChatBackend(engine, ByteTokenizer())
     elif checkpoint_path:
         from pathlib import Path
 

@@ -314,11 +314,15 @@ class AudioProcessor:
         self,
         config: Optional[AudioConfig] = None,
         asr_backend: Optional[Callable] = None,
+        event_backend: Optional[Callable] = None,
     ):
         self.config = config or AudioConfig()
         self.preprocessor = AudioPreprocessor(self.config)
         self.event_parser = AudioEventParser()
         self.asr = asr_backend or DeterministicFakeASR()
+        # trained JaxAudioEventDetector when a checkpoint resolves;
+        # None → the spectral heuristic rung below
+        self.event_backend = event_backend
 
     # ---------------------------------------------------------------- ASR
 
@@ -344,12 +348,20 @@ class AudioProcessor:
     def detect_audio_events(
         self, audio: np.ndarray, sample_rate: int, offset: float = 0.0
     ) -> list[AudioEvent]:
-        """Spectral-heuristic events over 1 s windows.
+        """Events over 1 s windows: trained model when available, else
+        the spectral heuristic.
 
-        Loud wideband transients → "impact sound" (EFFECT); sustained
-        tonal energy → "background music" (MUSIC); moderate noise →
+        Top rung (``event_backend``): a
+        :class:`~gvl_tpu.audio.event_model.JaxAudioEventDetector`
+        classifies every window in one device dispatch (the reference's
+        model path is the chat-prompted audio LLM,
+        `qwen_audio_processor.py:474-548`).  Fallback rung: loud
+        wideband transients → "impact sound" (EFFECT); sustained tonal
+        energy → "background music" (MUSIC); moderate noise →
         "ambient noise" (AMBIENT).
         """
+        if self.event_backend is not None:
+            return self._detect_events_model(audio, sample_rate, offset)
         win = sample_rate
         events: list[AudioEvent] = []
         n = len(audio) // win
@@ -387,6 +399,43 @@ class AudioProcessor:
                     AudioEventType.AMBIENT, "ambient noise", t0, t1,
                     confidence=0.5, intensity=loudness,
                 ))
+        return self._merge_adjacent(events)
+
+    def _detect_events_model(
+        self, audio: np.ndarray, sample_rate: int, offset: float
+    ) -> list[AudioEvent]:
+        """Trained-classifier path: every 1 s window is classified in one
+        device dispatch; SILENCE windows emit nothing; speech windows
+        emit SPEECH events (the ASR path transcribes independently)."""
+        from gvl_tpu.audio.event_model import CLASS_DESCRIPTIONS
+
+        win = sample_rate
+        n = len(audio) // win
+        if n == 0:
+            return []
+        frames = audio[: n * win].reshape(n, win)
+        rms = np.sqrt((frames ** 2).mean(axis=1))
+        median = max(float(np.median(rms)), 1e-8)
+        labels = self.event_backend(audio, sample_rate)
+        type_map = {
+            "speech": AudioEventType.SPEECH,
+            "music": AudioEventType.MUSIC,
+            "impact": AudioEventType.EFFECT,
+            "ui": AudioEventType.UI,
+            "ambient": AudioEventType.AMBIENT,
+        }
+        events: list[AudioEvent] = []
+        for i, (cls, conf) in enumerate(labels[:n]):
+            if cls == "silence" or cls not in type_map:
+                continue
+            if rms[i] < self.config.silence_rms_threshold:
+                continue
+            events.append(AudioEvent(
+                type_map[cls], CLASS_DESCRIPTIONS[cls],
+                offset + i, offset + i + 1,
+                confidence=float(conf),
+                intensity=float(np.clip(rms[i] / (4 * median), 0, 1)),
+            ))
         return self._merge_adjacent(events)
 
     @staticmethod
@@ -489,8 +538,11 @@ class Wav2Vec2JaxEmbedder:
 def create_audio_processor(
     whisper_checkpoint: Optional[str] = None,
     config: Optional[AudioConfig] = None,
+    event_checkpoint: Optional[str] = None,
 ) -> AudioProcessor:
-    """Factory: Whisper JAX backend when a checkpoint dir is given."""
+    """Factory: Whisper JAX ASR and/or the trained event classifier when
+    their checkpoints resolve; fakes/heuristics otherwise."""
+    asr_backend = None
     if whisper_checkpoint and Path(whisper_checkpoint).exists():
         from transformers import WhisperTokenizer
 
@@ -498,10 +550,20 @@ def create_audio_processor(
 
         model, variables = load_hf_whisper(whisper_checkpoint)
         tokenizer = WhisperTokenizer.from_pretrained(whisper_checkpoint)
-        return AudioProcessor(
-            config, asr_backend=WhisperJaxASR(model, variables, tokenizer)
+        asr_backend = WhisperJaxASR(model, variables, tokenizer)
+    event_backend = None
+    if event_checkpoint and Path(event_checkpoint).exists():
+        from gvl_tpu.audio.event_model import (
+            JaxAudioEventDetector,
+            load_event_params,
         )
-    return AudioProcessor(config)
+
+        event_backend = JaxAudioEventDetector(
+            load_event_params(event_checkpoint))
+        logger.info("audio events: trained classifier from %s",
+                    event_checkpoint)
+    return AudioProcessor(config, asr_backend=asr_backend,
+                          event_backend=event_backend)
 
 
 def build_audio_stack(preset_audio) -> tuple[AudioProcessor, Callable]:
@@ -521,7 +583,10 @@ def build_audio_stack(preset_audio) -> tuple[AudioProcessor, Callable]:
         sample_rate=getattr(preset_audio, "sample_rate", 16000))
     whisper_dir = resolve_repo_path(
         getattr(preset_audio, "whisper_checkpoint", None))
-    processor = create_audio_processor(whisper_dir, config)
+    event_ckpt = resolve_repo_path(
+        getattr(preset_audio, "event_checkpoint", None))
+    processor = create_audio_processor(whisper_dir, config,
+                                       event_checkpoint=event_ckpt)
     if whisper_dir:
         logger.info("audio ASR: Whisper JAX from %s", whisper_dir)
 

@@ -135,6 +135,10 @@ class AudioConfig:
     wav2vec2_checkpoint: Optional[str] = None
     # fixed wav2vec2 chunk bucket (seconds) — one compile per bucket
     wav2vec2_chunk_seconds: float = 10.0
+    # trained audio event classifier (gvl_tpu.audio.event_model) — the
+    # model rung above the spectral heuristic; auto-loads when the npz
+    # exists, exactly like sam_checkpoint
+    event_checkpoint: Optional[str] = "outputs/audio_event_params.npz"
 
 
 @dataclass

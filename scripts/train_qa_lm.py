@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Train the byte-level timeline-QA LM from scratch and save a checkpoint.
+
+Fully offline: grounded-QA transcripts are procedurally generated with
+known answers (gvl_tpu.training.qa_lm_train), so the agent stack gets a
+REAL trained language model — prompt → Qwen3Engine decode → parsed
+answer — without downloading weights.  The reference loads Qwen3-VL-8B
+instead (`/root/reference/src/agent_core/qwen_reasoning_core.py:
+1803-1879`); this ~4M-param model is the capability-validation rung of
+that ladder and scores on the synthetic Phase-1 gate.
+
+Usage:
+    python scripts/train_qa_lm.py --out outputs/qa_lm
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gvl_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+from gvl_tpu.training.qa_lm_train import (  # noqa: E402
+    QATrainConfig,
+    evaluate_qa_lm,
+    save_qa_lm,
+    train_qa_lm,
+)
+
+logger = logging.getLogger("train_qa_lm")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", default="outputs/qa_lm")
+    parser.add_argument("--steps", type=int, default=6000)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--pool-size", type=int, default=8192)
+    parser.add_argument("--eval-samples", type=int, default=60)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s")
+
+    cfg = QATrainConfig(steps=args.steps, batch_size=args.batch_size,
+                        learning_rate=args.lr, seed=args.seed,
+                        pool_size=args.pool_size)
+    t0 = time.time()
+    params = train_qa_lm(cfg)
+    logger.info("trained in %.1f s", time.time() - t0)
+
+    metrics = evaluate_qa_lm(params, cfg.model,
+                             n_samples=args.eval_samples)
+    logger.info("held-out grounded QA: acc=%.3f by_family=%s",
+                metrics["accuracy"], metrics["by_family"])
+
+    save_qa_lm(params, args.out, cfg.model)
+    logger.info("saved %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -206,6 +206,60 @@ class TestInt8TPSharding:
         assert tp.generate([7, 3, 99], max_new_tokens=6,
                            temperature=0.0) == expected
 
+    def test_tp_stacked_carry_decode_matches_unsharded(self):
+        """The stacked-carry in-place decode path (scan_layers +
+        use_cache_append_kernel + head_dim 128, the round-3 default at
+        8B geometry) under model-parallel sharding of the kv-head axis
+        must equal both the unsharded stacked engine and the
+        non-stacked path.  Closes the ROADMAP TP caveat at executed
+        (not just AOT-lowered) level — CPU mesh takes the reference
+        kernels via platform_dependent, so this validates the GSPMD
+        partitioning of the stacked cache carry."""
+        import dataclasses
+
+        from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Engine
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        cfg = Qwen3Config.tiny(
+            hidden_size=128, num_heads=8, num_kv_heads=4, head_dim=128,
+            intermediate_size=256, vocab_size=512, max_cache_length=64,
+            scan_layers=True, use_cache_append_kernel=True)
+        assert cfg.head_dim % 128 == 0  # stacked-carry branch condition
+
+        from gvl_tpu.models.qwen3 import Qwen3Model
+
+        params = Qwen3Model(cfg).init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))["params"]
+
+        ref = Qwen3Engine(cfg, {"params": params}, eos_token_id=-1,
+                          dtype=jnp.float32)
+        expected = ref.generate([7, 3, 99], max_new_tokens=6,
+                                temperature=0.0)
+
+        # non-stacked path agrees (flag off)
+        cfg_off = dataclasses.replace(cfg, use_cache_append_kernel=False)
+        off = Qwen3Engine(cfg_off, {"params": params}, eos_token_id=-1,
+                          dtype=jnp.float32)
+        assert off.generate([7, 3, 99], max_new_tokens=6,
+                            temperature=0.0) == expected
+
+        # kv-heads (4) divide the model axis (4): real head partition
+        mesh = build_mesh(data=2, model=4)
+        sharded = shard_pytree(params, mesh, LLM_RULES)
+        q_specs = [
+            leaf.sharding.spec
+            for path, leaf in jax.tree_util.tree_leaves_with_path(sharded)
+            if getattr(path[-1], "key", "") == "kernel"
+            and any(getattr(p, "key", "") == "k_proj" for p in path)
+        ]
+        assert q_specs and all("model" in str(s) for s in q_specs)
+
+        tp = Qwen3Engine(cfg, {"params": sharded}, eos_token_id=-1,
+                         dtype=jnp.float32)
+        assert tp.generate([7, 3, 99], max_new_tokens=6,
+                           temperature=0.0) == expected
+
 
 class TestInitDistributed:
     def test_single_process_noop(self, monkeypatch):

@@ -1,0 +1,205 @@
+"""Byte-level QA LM: data generation, masking, render parity, training,
+checkpoint wiring.
+
+Reference parity surface: the reasoning core's loaded-LLM path
+(`/root/reference/src/agent_core/qwen_reasoning_core.py:1803-1879`) —
+here a from-scratch trained byte model through the same engine/backend.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gvl_tpu.models.byte_tokenizer import (  # noqa: E402
+    BOS_ID,
+    EOS_ID,
+    PAD_ID,
+    ByteTokenizer,
+)
+from gvl_tpu.training.qa_lm_train import (  # noqa: E402
+    QASample,
+    QATrainConfig,
+    encode_sample,
+    generate_qa_sample,
+    is_qa_lm_checkpoint,
+    load_qa_lm,
+    qa_lm_config,
+    render_chatml,
+    save_qa_lm,
+    train_qa_lm,
+)
+
+
+class TestByteTokenizer:
+    def test_roundtrip(self):
+        tok = ByteTokenizer()
+        text = '[00:07] (Text: "HP 75/100") — boss detected'
+        assert tok.decode(tok.encode(text)) == text
+
+    def test_specials_skipped_in_decode(self):
+        tok = ByteTokenizer()
+        ids = [BOS_ID] + tok.encode("hi") + [EOS_ID, PAD_ID]
+        assert tok.decode(ids) == "hi"
+
+    def test_vocab_lane_aligned(self):
+        assert ByteTokenizer.vocab_size % 128 == 0
+
+
+class TestGenerator:
+    def test_families_covered_and_grounded(self):
+        rng = np.random.default_rng(0)
+        families = set()
+        for _ in range(120):
+            s = generate_qa_sample(rng)
+            families.add(s.family)
+            assert s.ground_truth
+            assert "**Answer:**" in s.answer
+            assert s.context_lines
+        assert {"binary", "mcq", "timestamp"} <= families
+
+    def test_mcq_letter_matches_option(self):
+        rng = np.random.default_rng(1)
+        for _ in range(60):
+            s = generate_qa_sample(rng)
+            if s.family != "mcq":
+                continue
+            idx = ord(s.ground_truth) - ord("A")
+            line = [ln for ln in s.question.split("\n")
+                    if ln.startswith(f"{s.ground_truth})")][0]
+            option = line.split(") ", 1)[1]
+            # the correct option's entity really is in the timeline
+            assert any(option in ln for ln in s.context_lines), (
+                option, s.context_lines)
+            assert 0 <= idx < 8
+
+    def test_timestamp_truth_in_context(self):
+        rng = np.random.default_rng(2)
+        for _ in range(60):
+            s = generate_qa_sample(rng)
+            if s.family == "timestamp":
+                assert any(s.ground_truth in ln for ln in s.context_lines)
+
+
+class TestEncoding:
+    def test_mask_covers_answer_and_eos_only(self):
+        tok = ByteTokenizer()
+        s = QASample("sys", ["[00:01] player detected"],
+                     "Q?", "**Answer:** Yes", "Yes")
+        tokens, mask, prompt_len = encode_sample(s, tok, 512)
+        assert tokens[0] == BOS_ID
+        n_ans = len(tok.encode(s.answer)) + 1  # + EOS
+        assert mask.sum() == n_ans
+        assert mask[:prompt_len].sum() == 0
+        assert tokens[prompt_len + n_ans - 1] == EOS_ID
+        assert (tokens[prompt_len + n_ans:] == PAD_ID).all()
+
+    def test_overlong_trims_context_front(self):
+        tok = ByteTokenizer()
+        lines = [f"[00:{i:02d}] enemy moving right" for i in range(40)]
+        s = QASample("sys", list(lines), "Q?", "**Answer:** No", "No")
+        tokens, mask, prompt_len = encode_sample(s, tok, 512)
+        assert prompt_len + int(mask.sum()) <= 512
+        # the LAST line survives (recency kept)
+        assert lines[-1] in tok.decode(tokens[:prompt_len])
+
+    def test_render_parity_with_backend(self):
+        """Training prompts must be byte-identical to what the agent's
+        Qwen3ChatBackend sends at inference."""
+        from gvl_tpu.agent.config import ReasoningCoreConfig
+        from gvl_tpu.agent.core import Qwen3ChatBackend, ReasoningCore
+
+        s = generate_qa_sample(np.random.default_rng(3))
+        core = ReasoningCore(ReasoningCoreConfig(
+            system_prompt=s.system))
+        messages = core.build_prompt(
+            query=s.question,
+            timeline_context="\n".join(s.context_lines))
+        backend = Qwen3ChatBackend.__new__(Qwen3ChatBackend)
+        backend.tokenizer = ByteTokenizer()
+        rendered_ids = backend._render(messages)
+        expected = render_chatml(s.system, s.user_text())
+        assert bytes(rendered_ids).decode() == expected
+
+
+@pytest.fixture(scope="module")
+def micro_trained():
+    cfg = QATrainConfig(
+        steps=60, batch_size=8, pool_size=96, max_len=640,
+        log_every=0,
+        model=qa_lm_config(hidden_size=64, num_layers=2, num_heads=2,
+                           num_kv_heads=1, head_dim=32,
+                           intermediate_size=128, max_cache_length=1024))
+    return cfg, train_qa_lm(cfg)
+
+
+class TestTraining:
+    def test_micro_training_reduces_masked_ce(self, micro_trained):
+        import optax
+
+        from gvl_tpu.models.qwen3 import Qwen3Model
+
+        cfg, params = micro_trained
+        model = Qwen3Model(cfg.model)
+        init = model.init(jax.random.PRNGKey(cfg.seed),
+                          jnp.zeros((1, 8), jnp.int32))["params"]
+        tok = ByteTokenizer()
+        rng = np.random.default_rng(99)
+        toks, masks = [], []
+        for _ in range(8):
+            t, m, _ = encode_sample(generate_qa_sample(rng), tok,
+                                    cfg.max_len)
+            toks.append(t)
+            masks.append(m)
+        tokens = jnp.asarray(np.stack(toks))
+        mask = jnp.asarray(np.stack(masks))
+
+        def ce(p):
+            logits, _ = model.apply({"params": p}, tokens)
+            c = optax.softmax_cross_entropy_with_integer_labels(
+                logits[:, :-1].astype(jnp.float32), tokens[:, 1:])
+            m = mask[:, 1:]
+            return float((c * m).sum() / m.sum())
+
+        assert ce(params) < ce(init) * 0.7
+
+    def test_checkpoint_roundtrip_and_factory(self, micro_trained,
+                                              tmp_path, monkeypatch):
+        cfg, params = micro_trained
+        out = tmp_path / "qa_lm"
+        # save with the micro model config, not the default geometry
+        import json
+        from dataclasses import asdict
+
+        from gvl_tpu.utils.checkpoints import save_flat_npz
+
+        out.mkdir()
+        (out / "qa_lm_config.json").write_text(json.dumps({
+            k: v for k, v in asdict(cfg.model).items()
+            if k != "lora_targets"}))
+        save_flat_npz(params, out / "params.npz")
+
+        assert is_qa_lm_checkpoint(out)
+        loaded_cfg, loaded = load_qa_lm(out)
+        assert loaded_cfg.hidden_size == cfg.model.hidden_size
+        a = jax.tree.leaves(params)
+        b = jax.tree.leaves(loaded)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+        from gvl_tpu.agent.core import Qwen3ChatBackend, create_reasoning_core
+
+        core = create_reasoning_core(checkpoint_path=str(out))
+        assert isinstance(core.backend, Qwen3ChatBackend)
+        assert isinstance(core.backend.tokenizer, ByteTokenizer)
+
+    def test_save_qa_lm_writes_default_config(self, tmp_path):
+        from gvl_tpu.models.qwen3 import Qwen3Model
+
+        cfg = qa_lm_config(hidden_size=64, num_layers=1, num_heads=2,
+                           num_kv_heads=1, head_dim=32,
+                           intermediate_size=128)
+        params = Qwen3Model(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
+        save_qa_lm(params, tmp_path / "ck")
+        assert is_qa_lm_checkpoint(tmp_path / "ck")
