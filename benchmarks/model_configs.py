@@ -29,6 +29,9 @@ class EvalModelConfig:
     fps: float = 1.0
     max_frames: int = 64
     max_new_tokens: int = 256
+    # local LLM checkpoint dir (e.g. the self-trained byte QA LM from
+    # scripts/train_qa_lm.py); None → grounded deterministic fake
+    llm_checkpoint: str = ""
     extra: dict = field(default_factory=dict)
 
 
@@ -77,11 +80,26 @@ def synthetic_gate() -> EvalModelConfig:
     )
 
 
+def qa_lm() -> EvalModelConfig:
+    """synthetic_gate wiring with the self-trained byte-level QA LM as
+    the generator: real learned weights through prefill/decode instead
+    of the deterministic context-reading fake.  Measures the trained
+    model's end-to-end accuracy on the grounded-synthetic distribution."""
+    return EvalModelConfig(
+        name="qa_lm",
+        description="grounded synthetic QA via the trained byte LM",
+        use_sam=True, use_siglip=False, use_asr=False, use_hico=False,
+        fps=1.0, max_frames=32, max_new_tokens=128,
+        llm_checkpoint="outputs/qa_lm",
+    )
+
+
 _REGISTRY = {
     "baseline_plain": baseline_plain,
     "gvp_light": gvp_light,
     "gvp_full": gvp_full,
     "synthetic_gate": synthetic_gate,
+    "qa_lm": qa_lm,
 }
 
 

@@ -128,6 +128,8 @@ class FullPipelineRunner:
         pc.reasoning.max_new_tokens = ec.max_new_tokens
         pc.reasoning.use_lora = ec.use_lora
         pc.reasoning.use_projectors = ec.use_projectors
+        if ec.llm_checkpoint:
+            pc.reasoning.llm_checkpoint = ec.llm_checkpoint
         # namespace the feature cache per ablation arm: arms differ in
         # which perception runs, so a cache entry written by one arm
         # (e.g. with the segmenter ON) must never be served to another —

@@ -315,6 +315,17 @@ class Qwen3ChatBackend:
 
     def stream(self, messages, config, inputs_embeds_prefix=None):
         ids = self._render(messages)
+        if inputs_embeds_prefix is not None:
+            hid = getattr(getattr(self.engine, "config", None),
+                          "hidden_size", None)
+            got = int(np.shape(inputs_embeds_prefix)[-1])
+            if hid and got != hid:
+                # projector output sized for a different LLM (e.g. the
+                # 4096-dim bank in front of the byte QA LM) — degrade to
+                # text-only rather than crash inside the jitted prefill
+                logger.warning("dropping %d-dim embeds prefix (engine "
+                               "hidden %d)", got, hid)
+                inputs_embeds_prefix = None
         limit = getattr(getattr(self.engine, "config", None),
                         "max_cache_length", None)
         if limit:
@@ -563,9 +574,12 @@ class ReasoningCore:
         if region_tokens:
             context_parts.append("## Visual Regions\n" + region_tokens)
         if knowledge_base_context:
-            context_parts.append(
-                "## Entity Knowledge Base\n" + knowledge_base_context
-            )
+            # export_for_llm already emits the section header; only add
+            # one for bare-context callers (was double-headed before)
+            kb = knowledge_base_context
+            if not kb.lstrip().startswith("## Entity Knowledge Base"):
+                kb = "## Entity Knowledge Base\n" + kb
+            context_parts.append(kb)
         if web_search_results:
             context_parts.append(web_search_results)
         if (
@@ -808,12 +822,18 @@ def create_reasoning_core(
     elif checkpoint_path and _is_qa_lm(checkpoint_path):
         # self-trained byte-level QA LM (scripts/train_qa_lm.py): real
         # learned weights through the same engine + backend stack
+        from pathlib import Path
+
         from gvl_tpu.models.byte_tokenizer import EOS_ID, ByteTokenizer
-        from gvl_tpu.models.qwen3 import Qwen3Engine
+        from gvl_tpu.models.qwen3 import Qwen3Engine, load_adapter_and_merge
         from gvl_tpu.training.qa_lm_train import load_qa_lm
 
         model_config, params = load_qa_lm(checkpoint_path)
-        engine = Qwen3Engine(model_config, {"params": params},
+        variables = {"params": params}
+        if lora_path and Path(lora_path, "adapter_config.json").exists():
+            model_config, variables = load_adapter_and_merge(
+                model_config, variables, lora_path)
+        engine = Qwen3Engine(model_config, variables,
                              eos_token_id=EOS_ID)
         backend = Qwen3ChatBackend(engine, ByteTokenizer())
     elif checkpoint_path:

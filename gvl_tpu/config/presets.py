@@ -170,6 +170,12 @@ class ReasoningConfig:
     use_projectors: bool = True
     projector_path: Optional[str] = "outputs/projector_weights.pt"
 
+    # local LLM checkpoint for the text backend — same auto-ladder as
+    # sam_checkpoint: a qa_lm dir (scripts/train_qa_lm.py) or HF text
+    # checkpoint routes through create_reasoning_core when it resolves,
+    # grounded deterministic fake otherwise
+    llm_checkpoint: Optional[str] = None
+
     # KV-cache page size for continuous batching
     kv_page_tokens: int = 256
     max_batch_slots: int = 8

@@ -3,7 +3,7 @@
 The reference's reasoning capability comes from downloaded Qwen3-VL-8B
 weights (`/root/reference/src/agent_core/qwen_reasoning_core.py:
 1803-1879`).  With zero egress, this module trains the repo's OWN
-:class:`~gvl_tpu.models.qwen3.Qwen3Model` (a ~4M-param byte-level
+:class:`~gvl_tpu.models.qwen3.Qwen3Model` (a ~15M-param byte-level
 config) on procedurally generated grounded-QA transcripts, so the full
 agent stack — prompt assembly → Qwen3Engine prefill/decode → streaming →
 answer parsing — runs with REAL learned weights end to end and scores
@@ -40,10 +40,15 @@ HUD_WORDS = ("HP", "MP", "SCORE", "GOLD", "AMMO", "LV")
 
 
 def qa_lm_config(**kw) -> Qwen3Config:
-    """The shipped QA-LM geometry (~4M params, byte vocab)."""
+    """The shipped QA-LM geometry (~15M params, byte vocab).
+
+    v1 (hidden 256 / 4L) learned answer FORMAT but memorized its fixed
+    sample pool instead of learning to copy digits/timestamps from
+    context (0% ocr exact match); v2 pairs this larger geometry with
+    streamed never-repeating samples so copying is the only way down."""
     base = dict(
-        hidden_size=256, num_layers=4, num_heads=4, num_kv_heads=2,
-        head_dim=64, intermediate_size=1024,
+        hidden_size=384, num_layers=6, num_heads=8, num_kv_heads=4,
+        head_dim=64, intermediate_size=1536,
         vocab_size=ByteTokenizer.vocab_size, max_cache_length=4096,
         rope_theta=100_000.0, tie_word_embeddings=False)
     base.update(kw)
@@ -66,13 +71,21 @@ class QASample:
     answer: str            # full assistant text incl. "**Answer:** ..."
     ground_truth: str      # canonical truth for scoring
     family: str = ""
+    # optional extra prompt sections matching the SERVING distribution
+    # (ReasoningCore.build_prompt emits these between timeline and
+    # question; v2 trained without them and emitted gibberish the moment
+    # the real pipeline added a KB block)
+    extra_sections: list[str] = field(default_factory=list)
+    question_suffix: str = ""
 
     def user_text(self) -> str:
         # byte-exact match of ReasoningCore.build_prompt → Qwen3ChatBackend
         # rendering: context parts and the question part are flattened
         # with "\n" and the question part starts with "\n## Question"
-        ctx = "\n".join(self.context_lines)
-        return f"## Timeline Context\n{ctx}\n\n## Question\n{self.question}"
+        parts = ["## Timeline Context\n" + "\n".join(self.context_lines)]
+        parts.extend(self.extra_sections)
+        return ("\n\n".join(parts)
+                + f"\n\n## Question\n{self.question}{self.question_suffix}")
 
 
 _SHORT_SYSTEMS = (
@@ -137,14 +150,111 @@ def _timeline(rng: np.random.Generator) -> tuple[list[str], dict]:
     return lines, facts
 
 
-def generate_qa_sample(rng: np.random.Generator) -> QASample:
+FAMILIES = ("binary", "mcq", "timestamp", "ocr", "audio", "causal")
+# copy-from-context families (ocr, timestamp) are the hard skill — the
+# model must transcribe exact digits/timestamps, not recall patterns —
+# so they get the training weight.  "causal" is deliberately weight-0 in
+# BASE training: it is the held-out capability the LoRA adapter teaches
+# (mirroring the reference's causal-chain LoRA data,
+# /root/reference/data/training/lora_training_data.json).
+FAMILY_WEIGHTS = (0.2, 0.2, 0.25, 0.25, 0.1, 0.0)
+# LoRA SFT distribution: the held-out family only
+LORA_FAMILY_WEIGHTS = (0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def _add_serving_sections(sample: QASample, rng: np.random.Generator) -> None:
+    """Append the extra prompt furniture the SERVING path emits
+    (`gvl_tpu.agent.core.ReasoningCore.build_prompt` +
+    `gvl_tpu.agent.loop` query suffixes) so the trained model is
+    distribution-matched to real `process_video` prompts, not just bare
+    timeline+question ones.  All sections are answer-irrelevant noise
+    for the current families — the model must learn to read past them."""
+    ents = [e for e in ENTITIES
+            if any(e in ln for ln in sample.context_lines)]
+    # section order mirrors build_prompt: regions, then knowledge base
+    if rng.random() < 0.35 and ents:       # Visual Regions block
+        rl = ["Detected regions in frame:"]
+        for e in ents:
+            x1 = float(rng.integers(0, 500))
+            y1 = float(rng.integers(0, 400))
+            bbox = [x1, y1, x1 + float(rng.integers(10, 80)),
+                    y1 + float(rng.integers(10, 80))]
+            rl.append(f"  - {e}: bbox={bbox}, "
+                      f"confidence={rng.uniform(0.3, 0.99):.2f}")
+        if rng.random() < 0.5:
+            word = str(rng.choice(HUD_WORDS))
+            rl.append(f"  - text: {word} {int(rng.integers(0, 999))}: "
+                      f"confidence={rng.uniform(0.5, 0.99):.2f}")
+        sample.extra_sections.append("## Visual Regions\n" + "\n".join(rl))
+    if rng.random() < 0.6 and ents:        # Entity Knowledge Base block
+        lines = ["## Entity Knowledge Base", "", "### Entities"]
+        ids = []
+        for e in ents:
+            for i in range(int(rng.integers(1, 4))):
+                eid = f"{e}_{i:03d}"
+                ids.append(eid)
+                lines.append(
+                    f"- **{eid}**: {e} (unknown) at "
+                    f"({int(rng.integers(0, 640))}, "
+                    f"{int(rng.integers(0, 480))})")
+        lines += ["", "### Relationships"]
+        rels = ("near", "left_of", "right_of", "above", "below",
+                "contains", "collides_with")
+        for _ in range(int(rng.integers(0, 8))):
+            if len(ids) < 2:
+                break
+            a, b = rng.choice(ids, 2, replace=False)
+            status = ("ongoing" if rng.random() < 0.8
+                      else f"ended {rng.uniform(1, 60):.1f}s")
+            lines.append(f"- [{rng.uniform(0, 60):.1f}s] {a} "
+                         f"{str(rng.choice(rels))} {b} ({status})")
+        sample.extra_sections.append("\n".join(lines))
+    sufs = []
+    r = rng.random()
+    if r < 0.5:
+        sufs.append("[Temporal Context: No temporal context available.]")
+    elif r < 0.75:
+        n = int(rng.integers(1, 24))
+        t0 = rng.uniform(0, 500)
+        dur = rng.uniform(1, 60)
+        sufs.append(f"[Temporal Context: Temporal context: {n} frames, "
+                    f"{dur:.1f}s duration ({t0:.1f}s to {t0 + dur:.1f}s)]")
+    if rng.random() < 0.25:
+        sufs.append(f"[{int(rng.integers(1, 24))} visual region "
+                    f"embeddings available]")
+    if sufs:
+        sample.question_suffix = "\n\n" + "\n".join(sufs)
+
+
+def generate_qa_sample(rng: np.random.Generator,
+                       family: Optional[str] = None,
+                       serving_sections: bool = True) -> QASample:
+    sample = _generate_base_sample(rng, family)
+    if serving_sections:
+        _add_serving_sections(sample, rng)
+    return sample
+
+
+def _generate_base_sample(rng: np.random.Generator,
+                          family: Optional[str] = None) -> QASample:
     lines, facts = _timeline(rng)
     present = facts["present"]
     system = (_default_system() if rng.random() < 0.7
               else str(rng.choice(_SHORT_SYSTEMS)))
-    family = rng.random()
+    if family is None:
+        r = rng.random()
+        family = ("binary" if r < 0.25 else "mcq" if r < 0.5
+                  else "timestamp" if r < 0.7
+                  else "ocr" if r < 0.9 and facts["ocr"] else "audio")
+    if family == "ocr" and not facts["ocr"]:
+        t = int(rng.integers(1, 580))
+        word = str(rng.choice(HUD_WORDS))
+        text = f"{word} {rng.integers(0, 9999)}"
+        lines.append(f'[{_mmss(t)}] (Text: "{text}")')
+        lines.sort()
+        facts["ocr"].append((t, text))
 
-    if family < 0.25:  # binary presence
+    if family == "binary":  # binary presence
         if rng.random() < 0.5:
             ent = str(rng.choice(present))
             t = facts["first_seen"].get(ent)
@@ -159,7 +269,7 @@ def generate_qa_sample(rng: np.random.Generator) -> QASample:
                     "Answer Yes or No.")
         return QASample(system, lines, question, answer, truth, "binary")
 
-    if family < 0.5:  # MCQ: which entity appears
+    if family == "mcq":  # MCQ: which entity appears
         others = [e for e in present if e != "player"]
         if not others:   # force a non-player entity into the timeline
             ent = str(rng.choice([e for e in ENTITIES if e != "player"]))
@@ -184,7 +294,7 @@ def generate_qa_sample(rng: np.random.Generator) -> QASample:
         answer = f"**Answer:** {letter}) {correct}{cite}"
         return QASample(system, lines, question, answer, letter, "mcq")
 
-    if family < 0.7:  # first-appearance timestamp
+    if family == "timestamp":  # first-appearance timestamp
         ent = str(rng.choice(list(facts["first_seen"])
                              or present))
         t = facts["first_seen"].get(ent)
@@ -198,11 +308,37 @@ def generate_qa_sample(rng: np.random.Generator) -> QASample:
         return QASample(system, lines, question, answer,
                         f"[{_mmss(t)}]", "timestamp")
 
-    if family < 0.9 and facts["ocr"]:  # OCR value read
+    if family == "ocr":  # OCR value read
         t, text = facts["ocr"][int(rng.integers(0, len(facts["ocr"])))]
         question = (f"What does the on-screen text show at [{_mmss(t)}]?")
         answer = f'**Answer:** "{text}"'
         return QASample(system, lines, question, answer, text, "ocr")
+
+    if family == "causal":  # why-did-X-happen over an attack→destroy chain
+        victim = str(rng.choice([e for e in ENTITIES if e != "player"]))
+        attacker = ("player" if rng.random() < 0.7 else
+                    str(rng.choice([e for e in ENTITIES if e != victim])))
+        used = {t for t in facts["first_seen"].values()}
+        t1 = int(rng.integers(1, 560))
+        while t1 in used:
+            t1 = int(rng.integers(1, 560))
+        t2 = t1 + int(rng.integers(1, 6))
+        lines.append(f"[{_mmss(t1)}] (Event: {attacker} attacks {victim})")
+        lines.append(f"[{_mmss(t2)}] (Event: {victim} destroyed)")
+        if rng.random() < 0.5:  # distractor attack on a DIFFERENT victim
+            d_vic = str(rng.choice([e for e in ENTITIES if e != victim]))
+            d_att = str(rng.choice([e for e in ENTITIES if e != d_vic]))
+            t3 = int(rng.integers(1, 580))
+            while t3 in (t1, t2):
+                t3 = int(rng.integers(1, 580))
+            lines.append(f"[{_mmss(t3)}] (Event: {d_att} attacks {d_vic})")
+        lines.sort()
+        question = (f"Why was the {victim} destroyed? State the cause "
+                    "and cite its timestamp.")
+        truth = f"the {attacker} attacked it at [{_mmss(t1)}]"
+        answer = (f"**Answer:** The {attacker} attacked it at "
+                  f"[{_mmss(t1)}].")
+        return QASample(system, lines, question, answer, truth, "causal")
 
     # audio event at timestamp (fallback family)
     if facts["audio"]:
@@ -256,16 +392,74 @@ def encode_sample(sample: QASample, tokenizer: ByteTokenizer,
 
 @dataclass
 class QATrainConfig:
-    steps: int = 6000
+    steps: int = 8000
     batch_size: int = 16
-    max_len: int = 2560
+    # 2560 fit bare timeline+question prompts (v2 p95 was 2234); the
+    # serving-distribution sections (KB/regions/suffixes) add ~600-1100
+    # bytes, so v3 trains at 3072
+    max_len: int = 3072
     learning_rate: float = 3e-4
     warmup: int = 200
     weight_decay: float = 0.01
     seed: int = 0
-    pool_size: int = 8192
+    # pool_size > 0: fixed pre-rendered pool (deterministic, CI-friendly);
+    # 0: stream never-repeating samples from a background render thread —
+    # a finite pool lets the model memorize answers instead of learning
+    # to COPY digits/timestamps from context (v1 shipped 0% ocr exact
+    # match at train loss 0.08 for exactly this reason)
+    pool_size: int = 0
     log_every: int = 200
+    family_weights: tuple = FAMILY_WEIGHTS
     model: Qwen3Config = field(default_factory=qa_lm_config)
+
+
+def _render_batch(rng: np.random.Generator, cfg: QATrainConfig,
+                  tokenizer: ByteTokenizer) -> tuple[np.ndarray, np.ndarray]:
+    tokens = np.zeros((cfg.batch_size, cfg.max_len), np.int32)
+    mask = np.zeros((cfg.batch_size, cfg.max_len), np.float32)
+    fams = rng.choice(len(FAMILIES), cfg.batch_size,
+                      p=np.asarray(cfg.family_weights))
+    for i in range(cfg.batch_size):
+        sample = generate_qa_sample(rng, family=FAMILIES[int(fams[i])])
+        tokens[i], mask[i], _ = encode_sample(sample, tokenizer, cfg.max_len)
+    return tokens, mask
+
+
+def _batch_stream(cfg: QATrainConfig, tokenizer: ByteTokenizer):
+    """Yield (tokens, mask) host batches; streamed from a producer thread
+    (render overlaps device compute) or drawn from a fixed pool."""
+    rng = np.random.default_rng(cfg.seed)
+    if cfg.pool_size:
+        pools = [_render_batch(rng, cfg, tokenizer)
+                 for _ in range(max(cfg.pool_size // cfg.batch_size, 1))]
+        logger.info("rendered fixed pool: %d batches", len(pools))
+        while True:
+            yield pools[int(rng.integers(0, len(pools)))]
+        return
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=8)
+    stop = threading.Event()
+
+    def producer():
+        prng = np.random.default_rng(cfg.seed + 1)
+        while not stop.is_set():
+            batch = _render_batch(prng, cfg, tokenizer)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
 
 
 def train_qa_lm(cfg: Optional[QATrainConfig] = None) -> dict:
@@ -274,16 +468,7 @@ def train_qa_lm(cfg: Optional[QATrainConfig] = None) -> dict:
 
     cfg = cfg or QATrainConfig()
     tokenizer = ByteTokenizer()
-    rng = np.random.default_rng(cfg.seed)
     model = Qwen3Model(cfg.model)
-
-    logger.info("rendering %d samples...", cfg.pool_size)
-    pool_tokens = np.zeros((cfg.pool_size, cfg.max_len), np.int32)
-    pool_mask = np.zeros((cfg.pool_size, cfg.max_len), np.float32)
-    for i in range(cfg.pool_size):
-        tokens, mask, _ = encode_sample(
-            generate_qa_sample(rng), tokenizer, cfg.max_len)
-        pool_tokens[i], pool_mask[i] = tokens, mask
 
     params = model.init(jax.random.PRNGKey(cfg.seed),
                         jnp.zeros((1, 8), jnp.int32))["params"]
@@ -310,21 +495,14 @@ def train_qa_lm(cfg: Optional[QATrainConfig] = None) -> dict:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # pre-stage the pool on device in chunks? pool is 8192*2560*4 B
-    # ≈ 84 MB tokens + 84 MB mask — device_put whole, index per step
-    dev_tokens = jax.device_put(pool_tokens)
-    dev_mask = jax.device_put(pool_mask)
-
-    @jax.jit
-    def gather(idx):
-        return dev_tokens[idx], dev_mask[idx]
-
+    stream = _batch_stream(cfg, tokenizer)
     for i in range(cfg.steps):
-        idx = jnp.asarray(rng.integers(0, cfg.pool_size, cfg.batch_size))
-        tokens, mask = gather(idx)
-        params, opt_state, loss = step_fn(params, opt_state, tokens, mask)
+        tokens, mask = next(stream)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(tokens), jnp.asarray(mask))
         if cfg.log_every and (i % cfg.log_every == 0 or i == cfg.steps - 1):
             logger.info("qa-lm step %d loss %.4f", i, float(loss))
+    stream.close()
     return params
 
 
@@ -338,22 +516,29 @@ def evaluate_qa_lm(
     n_samples: int = 50,
     seed: int = 1234,
     max_new_tokens: int = 48,
+    families: Optional[tuple] = None,
+    engine=None,
 ) -> dict:
     """Held-out grounded-QA accuracy through the REAL Qwen3Engine
-    decode path (greedy)."""
+    decode path (greedy).  ``families`` restricts the sample
+    distribution (e.g. ``("causal",)`` for the LoRA held-out family);
+    default draws the base-training mix.  Pass ``engine`` to reuse a
+    compiled engine across eval calls."""
     from gvl_tpu.models.qwen3 import Qwen3Engine
 
     model_cfg = model_cfg or qa_lm_config()
     tokenizer = ByteTokenizer()
-    engine = Qwen3Engine(model_cfg, {"params": params},
-                         eos_token_id=EOS_ID)
+    if engine is None:
+        engine = Qwen3Engine(model_cfg, {"params": params},
+                             eos_token_id=EOS_ID)
     rng = np.random.default_rng(seed)
     per_family: dict[str, list[int]] = {}
     for _ in range(n_samples):
-        sample = generate_qa_sample(rng)
+        fam = str(rng.choice(families)) if families else None
+        sample = generate_qa_sample(rng, family=fam)
         # same front-trim budget as training
         tokens, _, prompt_len = encode_sample(
-            sample, tokenizer, 2560)
+            sample, tokenizer, 3072)
         ids = [int(t) for t in tokens[:prompt_len]]
         out = engine.generate(ids, max_new_tokens=max_new_tokens,
                               temperature=0.0)
@@ -412,3 +597,131 @@ def is_qa_lm_checkpoint(path) -> bool:
     from pathlib import Path
 
     return bool(path) and (Path(path) / "qa_lm_config.json").exists()
+
+
+# --------------------------------------------------------------------------
+# LoRA SFT on the held-out causal family (capability-grade adapter)
+# --------------------------------------------------------------------------
+
+@dataclass
+class LoraQAConfig:
+    steps: int = 1500
+    batch_size: int = 16
+    max_len: int = 2560
+    learning_rate: float = 2e-4
+    warmup: int = 100
+    grad_clip: float = 1.0
+    seed: int = 0
+    lora_rank: int = 32
+    lora_alpha: float = 64.0
+    log_every: int = 100
+
+
+def train_qa_lm_lora(base_dir,
+                     cfg: Optional[LoraQAConfig] = None
+                     ) -> tuple[Qwen3Config, dict]:
+    """LoRA-tune the trained QA LM on the causal family.
+
+    "causal" is held out of base training (``FAMILY_WEIGHTS`` weight 0),
+    so the measured base→LoRA accuracy delta on it is capability the
+    ADAPTER adds, while base-family regression quantifies forgetting.
+    Only lora_a/lora_b leaves receive updates (``optax.multi_transform``
+    over :func:`~gvl_tpu.training.lora_train.lora_mask`); r=32/α=64 over
+    all 7 projection targets is the reference regime
+    (`/root/reference/scripts/finetune_lora.py:35-51`).  Returns
+    ``(lora_config, params_with_adapters)``.
+    """
+    from dataclasses import replace
+
+    import flax
+    import optax
+
+    from gvl_tpu.training.lora_train import lora_mask
+
+    cfg = cfg or LoraQAConfig()
+    base_cfg, base_params = load_qa_lm(base_dir)
+    lora_cfg = replace(base_cfg, lora_rank=cfg.lora_rank,
+                       lora_alpha=cfg.lora_alpha)
+    model = Qwen3Model(lora_cfg)
+    tokenizer = ByteTokenizer()
+    params = flax.core.unfreeze(model.init(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.zeros((1, 8), jnp.int32))["params"])
+
+    def graft(dst, src):
+        for key, value in src.items():
+            if isinstance(value, dict):
+                graft(dst[key], value)
+            else:
+                dst[key] = value
+
+    graft(params, base_params)
+
+    labels = jax.tree.map(lambda is_lora: "lora" if is_lora else "frozen",
+                          lora_mask(params))
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.learning_rate,
+        min(cfg.warmup, max(cfg.steps // 10, 1)), cfg.steps)
+    tx = optax.multi_transform(
+        {"lora": optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                             optax.adamw(schedule)),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, tokens, mask):
+        def loss_fn(p):
+            logits, _ = model.apply({"params": p}, tokens)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits[:, :-1].astype(jnp.float32), tokens[:, 1:])
+            m = mask[:, 1:]
+            return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    stream_cfg = QATrainConfig(
+        steps=cfg.steps, batch_size=cfg.batch_size, max_len=cfg.max_len,
+        seed=cfg.seed, family_weights=LORA_FAMILY_WEIGHTS, model=lora_cfg)
+    stream = _batch_stream(stream_cfg, tokenizer)
+    for i in range(cfg.steps):
+        tokens, mask = next(stream)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(tokens), jnp.asarray(mask))
+        if cfg.log_every and (i % cfg.log_every == 0 or i == cfg.steps - 1):
+            logger.info("qa-lm lora step %d loss %.4f", i, float(loss))
+    stream.close()
+    return lora_cfg, params
+
+
+def save_qa_lm_adapter(params: dict, out_dir, lora_cfg: Qwen3Config,
+                       base_dir=None, metrics: Optional[dict] = None) -> None:
+    """LoraTrainer-layout adapter dir (adapter_final.npz +
+    adapter_config.json), consumable by
+    :func:`gvl_tpu.models.qwen3.load_adapter_and_merge`."""
+    import json
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix=""):
+        for key, value in tree.items():
+            path = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, dict):
+                walk(value, path)
+            elif key in ("lora_a", "lora_b"):
+                flat[path] = np.asarray(value)
+
+    walk(params)
+    np.savez_compressed(out / "adapter_final.npz", **flat)
+    (out / "adapter_config.json").write_text(json.dumps({
+        "lora_rank": lora_cfg.lora_rank,
+        "lora_alpha": lora_cfg.lora_alpha,
+        "targets": list(lora_cfg.lora_targets),
+        "base_checkpoint": str(base_dir) if base_dir else None,
+        "train_family": "causal",
+        "metrics": metrics or {},
+    }, indent=2))

@@ -250,6 +250,40 @@ def make_scene(
         else:
             hit = d2 <= r * r
         frame[hit] = rng.integers(110, 160, 3).astype(np.uint8)
+    # HUD furniture negatives: thin status bars + glyph rows overlaid in
+    # saturated — sometimes concept-colored — palettes.  Gameplay UIs
+    # draw these everywhere and they must not read as entities: the v3
+    # checkpoint (no such negatives) detected concept_demo's red HP bar
+    # as "enemy" (shape lost to color under style randomization).  Kept
+    # out of the holdout family so its OOD definition is unchanged.
+    if style != "holdout" and rng.random() < 0.7:
+        for _ in range(rng.integers(1, 3)):
+            bh = int(rng.integers(4, 10))
+            bw = int(rng.integers(size // 5, size // 2))
+            bx = int(rng.integers(0, size - bw))
+            by = int(rng.integers(0, size - bh))
+            if rng.random() < 0.5:   # concept-palette bar (hard negative)
+                base_c = np.asarray(CONCEPT_SPECS[
+                    CONCEPTS[int(rng.integers(len(CONCEPTS)))]][1],
+                    np.int64)
+                col = np.clip(base_c + rng.integers(-30, 31, 3), 0, 255)
+            else:
+                col = rng.integers(120, 256, 3)
+            fill = int(rng.integers(bw // 4, bw + 1))
+            frame[by:by + bh, bx:bx + fill] = col.astype(np.uint8)
+            frame[by:by + bh, bx + fill:bx + bw] = (60, 60, 60)
+        if rng.random() < 0.6:       # glyph row (text-like clutter)
+            gh = int(rng.integers(6, 14))
+            gy = int(rng.integers(0, size - gh))
+            gx = int(rng.integers(0, size // 2))
+            bright = rng.integers(170, 256, 3).astype(np.uint8)
+            x = gx
+            for _ in range(int(rng.integers(4, 12))):
+                gw = int(rng.integers(2, max(3, gh // 2 + 2)))
+                if x + gw >= size:
+                    break
+                frame[gy:gy + gh, x:x + gw] = bright
+                x += gw + int(rng.integers(1, 4))
     # global perturbations per style family
     if style == "holdout":
         gamma = rng.uniform(0.75, 1.3)

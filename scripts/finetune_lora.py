@@ -20,11 +20,22 @@ from gvl_tpu.utils.jax_setup import setup_jax
 
 setup_jax()
 
+logger = logging.getLogger("finetune_lora")
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data", required=True,
+    parser.add_argument("--data", default=None,
                         help="chat-format training JSON")
+    parser.add_argument("--qa-lm", default=None, metavar="BASE_DIR",
+                        help="LoRA-tune the self-trained byte QA LM "
+                             "(scripts/train_qa_lm.py checkpoint) on the "
+                             "held-out causal family; streams generated "
+                             "samples instead of --data")
+    parser.add_argument("--steps", type=int, default=1500,
+                        help="--qa-lm mode: LoRA SFT steps")
+    parser.add_argument("--eval-samples", type=int, default=60,
+                        help="--qa-lm mode: held-out eval size per arm")
     parser.add_argument("--output-dir", default="outputs/lora_adapter")
     parser.add_argument("--llm-checkpoint", default=None,
                         help="HF Qwen3 checkpoint dir; a tiny random model "
@@ -38,6 +49,13 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
+
+    if args.qa_lm:
+        return _finetune_qa_lm(args)
+
+    if not args.data:
+        print("--data is required (or use --qa-lm)")
+        return 1
 
     from gvl_tpu.training import (
         LoraTrainer, LoraTrainingConfig, load_chat_training_data,
@@ -110,6 +128,64 @@ def main(argv=None) -> int:
     result = trainer.train(data)
     print(f"done: {result['steps']} steps, final loss "
           f"{result['final_loss']:.4f} -> {args.output_dir}")
+    return 0
+
+
+def _finetune_qa_lm(args) -> int:
+    """Capability-grade LoRA: adapter teaches the trained byte QA LM the
+    held-out causal family; base→LoRA delta + base-family regression are
+    measured through the real engine and stored in adapter_config.json."""
+    import json
+    import time
+    from dataclasses import replace
+
+    from gvl_tpu.models.qwen3 import merge_lora
+    from gvl_tpu.training.qa_lm_train import (
+        LoraQAConfig,
+        evaluate_qa_lm,
+        load_qa_lm,
+        save_qa_lm_adapter,
+        train_qa_lm_lora,
+    )
+
+    base_cfg, base_params = load_qa_lm(args.qa_lm)
+    logger.info("eval base model (no adapter)...")
+    base_causal = evaluate_qa_lm(base_params, base_cfg,
+                                 n_samples=args.eval_samples,
+                                 families=("causal",))
+    base_mix = evaluate_qa_lm(base_params, base_cfg,
+                              n_samples=args.eval_samples)
+    logger.info("base: causal=%.3f mix=%.3f",
+                base_causal["accuracy"], base_mix["accuracy"])
+
+    lora_lr = args.lr if args.lr != 2e-5 else LoraQAConfig.learning_rate
+    cfg = LoraQAConfig(steps=args.steps, learning_rate=lora_lr,
+                       lora_rank=args.lora_rank, lora_alpha=args.lora_alpha)
+    t0 = time.time()
+    lora_cfg, lora_params = train_qa_lm_lora(args.qa_lm, cfg)
+    logger.info("lora trained in %.1f s", time.time() - t0)
+
+    merged = merge_lora(lora_params, lora_cfg)
+    cfg0 = replace(lora_cfg, lora_rank=0)
+    lora_causal = evaluate_qa_lm(merged, cfg0,
+                                 n_samples=args.eval_samples,
+                                 families=("causal",))
+    lora_mix = evaluate_qa_lm(merged, cfg0, n_samples=args.eval_samples)
+
+    metrics = {
+        "base_causal": base_causal, "base_mix": base_mix,
+        "lora_causal": lora_causal, "lora_mix": lora_mix,
+        "steps": cfg.steps, "lr": cfg.learning_rate,
+    }
+    save_qa_lm_adapter(lora_params, args.output_dir, lora_cfg,
+                       base_dir=args.qa_lm, metrics=metrics)
+    print(json.dumps({
+        "causal_accuracy": {"base": base_causal["accuracy"],
+                            "lora": lora_causal["accuracy"]},
+        "base_family_accuracy": {"base": base_mix["accuracy"],
+                                 "lora": lora_mix["accuracy"]},
+        "adapter": args.output_dir,
+    }, indent=2))
     return 0
 
 

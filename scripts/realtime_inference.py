@@ -366,8 +366,12 @@ def process_video(
             config.inference.trigger_confidence_threshold,
     )
     with timer.stage("loop_init"):
+        from gvl_tpu.utils.checkpoints import resolve_repo_path
+
         core, projectors = _loop_components(
-            reasoning_config, config.reasoning.projector_path)
+            reasoning_config, config.reasoning.projector_path,
+            resolve_repo_path(
+                getattr(config.reasoning, "llm_checkpoint", None)))
         core.clear_conversation()
         loop = PerceptionReasoningLoop(
             config=reasoning_config,
@@ -395,16 +399,19 @@ _LOOP_COMPONENT_CACHE: dict = {}
 
 
 def _loop_components(reasoning_config: ReasoningCoreConfig,
-                     projector_path: Optional[str]):
+                     projector_path: Optional[str],
+                     llm_checkpoint: Optional[str] = None):
     from dataclasses import asdict
 
     key = (repr(sorted(asdict(reasoning_config).items(),
-                       key=lambda kv: kv[0])), projector_path)
+                       key=lambda kv: kv[0])), projector_path,
+           llm_checkpoint)
     if key not in _LOOP_COMPONENT_CACHE:
         from gvl_tpu.agent.core import create_reasoning_core
         from gvl_tpu.models.projector import ProjectorBank
 
-        core = create_reasoning_core(reasoning_config)
+        core = create_reasoning_core(reasoning_config,
+                                     checkpoint_path=llm_checkpoint)
         projectors = ProjectorBank(reasoning_config).init()
         if projector_path and Path(projector_path).exists():
             projectors.load_weights(projector_path)

@@ -40,11 +40,12 @@ logger = logging.getLogger("train_qa_lm")
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", default="outputs/qa_lm")
-    parser.add_argument("--steps", type=int, default=6000)
+    parser.add_argument("--steps", type=int, default=8000)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--pool-size", type=int, default=8192)
+    parser.add_argument("--pool-size", type=int, default=0,
+                        help="0 = stream never-repeating samples")
     parser.add_argument("--eval-samples", type=int, default=60)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,

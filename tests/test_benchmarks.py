@@ -199,7 +199,7 @@ class TestModelConfigs:
     def test_registry(self):
         assert set(list_model_configs()) == {
             "baseline_plain", "gvp_light", "gvp_full",
-            "synthetic_gate"}
+            "synthetic_gate", "qa_lm"}
         base = get_model_config("baseline_plain")
         assert not base.use_timeline and not base.use_sam
         full = get_model_config("gvp_full")

@@ -111,6 +111,42 @@ class TestGroundedEndToEnd:
         # the grounded loop is deterministic: all four must be right
         assert correct == 4
 
+    def test_llm_checkpoint_routes_trained_backend(self, tmp_path):
+        """`EvalModelConfig.llm_checkpoint` (the qa_lm arm) must reach
+        the loop's reasoning core: preset.reasoning.llm_checkpoint →
+        process_video → create_reasoning_core(checkpoint_path=...) →
+        Qwen3ChatBackend over the byte LM, replacing the grounded fake."""
+        import jax
+        import jax.numpy as jnp
+
+        from benchmarks.model_configs import EvalModelConfig
+        from benchmarks.model_inference import FullPipelineRunner
+        from gvl_tpu.agent.core import Qwen3ChatBackend
+        from gvl_tpu.models.byte_tokenizer import ByteTokenizer
+        from gvl_tpu.models.qwen3 import Qwen3Model
+        from gvl_tpu.training.qa_lm_train import qa_lm_config, save_qa_lm
+        from scripts.realtime_inference import process_video
+
+        cfg = qa_lm_config(hidden_size=64, num_layers=1, num_heads=2,
+                           num_kv_heads=1, head_dim=32,
+                           intermediate_size=128, max_cache_length=2048)
+        params = Qwen3Model(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
+        ckpt = tmp_path / "qa_lm"
+        save_qa_lm(params, ckpt, cfg)
+
+        ec = EvalModelConfig(
+            name="qa_lm_test", use_sam=False, use_siglip=False,
+            use_ocr=False, use_asr=False, fps=1.0, max_new_tokens=8,
+            llm_checkpoint=str(ckpt))
+        r = FullPipelineRunner(ec, preset="light", use_cache=False)
+        assert r.preset.reasoning.llm_checkpoint == str(ckpt)
+        pv = process_video("synthetic://concept_demo_llm?duration=2",
+                           r.preset, use_cache=False)
+        backend = pv.loop.reasoning_core.backend
+        assert isinstance(backend, Qwen3ChatBackend)
+        assert isinstance(backend.tokenizer, ByteTokenizer)
+
     def test_loop_components_shared_across_videos(self, runner):
         """Per-video loop_init must be ~free after the first video
         (VERDICT r2 weak #7: 15.7 s of 17.1 s per sample was re-init)."""

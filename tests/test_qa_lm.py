@@ -106,21 +106,34 @@ class TestEncoding:
 
     def test_render_parity_with_backend(self):
         """Training prompts must be byte-identical to what the agent's
-        Qwen3ChatBackend sends at inference."""
+        Qwen3ChatBackend sends at inference — including the serving
+        sections (regions / knowledge base / query suffixes)."""
         from gvl_tpu.agent.config import ReasoningCoreConfig
         from gvl_tpu.agent.core import Qwen3ChatBackend, ReasoningCore
 
-        s = generate_qa_sample(np.random.default_rng(3))
-        core = ReasoningCore(ReasoningCoreConfig(
-            system_prompt=s.system))
-        messages = core.build_prompt(
-            query=s.question,
-            timeline_context="\n".join(s.context_lines))
-        backend = Qwen3ChatBackend.__new__(Qwen3ChatBackend)
-        backend.tokenizer = ByteTokenizer()
-        rendered_ids = backend._render(messages)
-        expected = render_chatml(s.system, s.user_text())
-        assert bytes(rendered_ids).decode() == expected
+        rng = np.random.default_rng(3)
+        checked_sections = 0
+        for _ in range(20):
+            s = generate_qa_sample(rng)
+            kb = next((x for x in s.extra_sections
+                       if x.startswith("## Entity Knowledge Base")), None)
+            regions = next(
+                (x.split("\n", 1)[1] for x in s.extra_sections
+                 if x.startswith("## Visual Regions")), None)
+            checked_sections += bool(kb) + bool(regions)
+            core = ReasoningCore(ReasoningCoreConfig(
+                system_prompt=s.system))
+            messages = core.build_prompt(
+                query=s.question + s.question_suffix,
+                timeline_context="\n".join(s.context_lines),
+                region_tokens=regions,
+                knowledge_base_context=kb)
+            backend = Qwen3ChatBackend.__new__(Qwen3ChatBackend)
+            backend.tokenizer = ByteTokenizer()
+            rendered_ids = backend._render(messages)
+            expected = render_chatml(s.system, s.user_text())
+            assert bytes(rendered_ids).decode() == expected
+        assert checked_sections > 0  # distribution actually samples them
 
 
 @pytest.fixture(scope="module")
@@ -203,3 +216,113 @@ class TestTraining:
             jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
         save_qa_lm(params, tmp_path / "ck")
         assert is_qa_lm_checkpoint(tmp_path / "ck")
+
+
+class TestCausalFamily:
+    def test_causal_grounded_and_unambiguous(self):
+        from gvl_tpu.training.qa_lm_train import generate_qa_sample
+
+        rng = np.random.default_rng(7)
+        for _ in range(60):
+            s = generate_qa_sample(rng, family="causal")
+            assert s.family == "causal"
+            # the cited cause line really is in the timeline
+            ts = s.ground_truth.split("[")[1].rstrip("]")
+            cause = [ln for ln in s.context_lines
+                     if ln.startswith(f"[{ts}]") and "attacks" in ln]
+            assert cause, (s.ground_truth, s.context_lines)
+            victim = s.question.split("Why was the ")[1].split(" destroyed")[0]
+            assert cause[0].rstrip(")").endswith(victim)
+            # exactly one attack on THIS victim (no ambiguous chains)
+            n_attacks = sum(1 for ln in s.context_lines
+                            if f"attacks {victim})" in ln)
+            assert n_attacks == 1
+            assert any(f"{victim} destroyed" in ln
+                       for ln in s.context_lines)
+
+    def test_causal_excluded_from_base_training_mix(self):
+        from gvl_tpu.training.qa_lm_train import (
+            FAMILIES,
+            FAMILY_WEIGHTS,
+            LORA_FAMILY_WEIGHTS,
+        )
+
+        assert len(FAMILY_WEIGHTS) == len(FAMILIES)
+        assert FAMILY_WEIGHTS[FAMILIES.index("causal")] == 0.0
+        assert LORA_FAMILY_WEIGHTS[FAMILIES.index("causal")] == 1.0
+        # the default (family=None) draw never yields causal either
+        rng = np.random.default_rng(11)
+        assert all(generate_qa_sample(rng).family != "causal"
+                   for _ in range(120))
+
+
+class TestLoraQA:
+    def test_lora_train_updates_only_adapters(self, tmp_path):
+        """train_qa_lm_lora on a micro base: lora_a/lora_b leaves move,
+        every base leaf stays bit-identical (frozen), and the saved
+        adapter merges through create_reasoning_core(lora_path=...)."""
+        from gvl_tpu.models.qwen3 import Qwen3Model
+        from gvl_tpu.training.qa_lm_train import (
+            LoraQAConfig,
+            save_qa_lm_adapter,
+            train_qa_lm_lora,
+        )
+
+        cfg = qa_lm_config(hidden_size=64, num_layers=2, num_heads=2,
+                           num_kv_heads=1, head_dim=32,
+                           intermediate_size=128, max_cache_length=1024)
+        params = Qwen3Model(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
+        base = tmp_path / "qa_lm"
+        save_qa_lm(params, base, cfg)
+
+        lora_cfg, lora_params = train_qa_lm_lora(
+            base, LoraQAConfig(steps=4, batch_size=2, max_len=640,
+                               log_every=0, lora_rank=4, lora_alpha=8.0))
+        assert lora_cfg.lora_rank == 4
+
+        flat = {}
+
+        def walk(tree, prefix=""):
+            for key, value in tree.items():
+                p = f"{prefix}/{key}" if prefix else key
+                if isinstance(value, dict):
+                    walk(value, p)
+                else:
+                    flat[p] = np.asarray(value)
+
+        walk(lora_params)
+        base_flat = {}
+        walk_src = params
+
+        def walk2(tree, prefix=""):
+            for key, value in tree.items():
+                p = f"{prefix}/{key}" if prefix else key
+                if isinstance(value, dict):
+                    walk2(value, p)
+                else:
+                    base_flat[p] = np.asarray(value)
+
+        walk2(walk_src)
+        lora_leaves = [k for k in flat if k.endswith(("lora_a", "lora_b"))]
+        assert lora_leaves
+        # lora_b starts at zero; after steps lora_a grads flow through it,
+        # so at least the trained lora_b leaves must have moved
+        assert any(np.abs(flat[k]).max() > 0
+                   for k in lora_leaves if k.endswith("lora_b"))
+        for k, v in base_flat.items():
+            assert np.array_equal(flat[k], v), f"base leaf {k} changed"
+
+        adapter = tmp_path / "adapter"
+        save_qa_lm_adapter(lora_params, adapter, lora_cfg, base_dir=base)
+        assert (adapter / "adapter_final.npz").exists()
+
+        from gvl_tpu.agent.core import Qwen3ChatBackend, create_reasoning_core
+
+        core = create_reasoning_core(checkpoint_path=str(base),
+                                     lora_path=str(adapter))
+        assert isinstance(core.backend, Qwen3ChatBackend)
+        # merged engine must still decode
+        out = core.backend.engine.generate([1, 2, 3], max_new_tokens=2,
+                                           temperature=0.0)
+        assert len(out) >= 1
