@@ -258,6 +258,22 @@ def bench_decode_8b() -> dict:
     return out
 
 
+def bench_qa_lm(n_samples: int = 24) -> dict:
+    """Held-out grounded-QA accuracy of the shipped self-trained byte LM
+    (outputs/qa_lm) through REAL greedy engine decode — the
+    trained-weights capability rung of the reasoning ladder."""
+    from pathlib import Path
+
+    if not Path("outputs/qa_lm/qa_lm_config.json").exists():
+        return {}
+    from gvl_tpu.training.qa_lm_train import evaluate_qa_lm, load_qa_lm
+
+    cfg, params = load_qa_lm("outputs/qa_lm")
+    m = evaluate_qa_lm(params, cfg, n_samples=n_samples, seed=77)
+    return {"qa_lm_heldout_acc": round(m["accuracy"], 3),
+            "qa_lm_heldout_n": n_samples}
+
+
 def main() -> None:
     from gvl_tpu.utils.jax_setup import setup_jax
 
@@ -270,6 +286,7 @@ def main() -> None:
         extra.update(bench_decode_8b())
         extra["decode_vs_target"] = round(
             extra["decode_tok_s_8b"] / TARGET_DECODE_TOK_S, 2)
+        extra.update(bench_qa_lm())
 
     print(json.dumps({
         "metric": "siglip_so400m_images_per_sec_per_chip",

@@ -64,6 +64,11 @@ def main(argv=None) -> int:
                 metrics["accuracy"], metrics["by_family"])
 
     save_qa_lm(params, args.out, cfg.model)
+    import json
+
+    (Path(args.out) / "metrics.json").write_text(json.dumps({
+        "heldout": metrics, "steps": args.steps,
+        "pool_size": args.pool_size, "seed": args.seed}, indent=2))
     logger.info("saved %s", args.out)
     return 0
 
