@@ -218,6 +218,11 @@ def build_siglip_encoder(config, mesh=None):
         return SigLIPSemanticEncoder()
     ckpt = _resolve_checkpoint(getattr(p, "siglip_checkpoint", None))
     if ckpt:
+        from gvl_tpu.training.siglip_train import is_minisiglip_checkpoint
+
+        if is_minisiglip_checkpoint(ckpt):
+            return SigLIPSemanticEncoder.from_trained_checkpoint(
+                ckpt, mesh=mesh)
         return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt, mesh=mesh)
     if backend == "jax":
         return SigLIPSemanticEncoder.with_random_tower(mesh=mesh)

@@ -321,6 +321,31 @@ class SigLIPSemanticEncoder:
             image_mean=config.image_mean, image_std=config.image_std,
             pool_strategy=config.pool_strategy, mesh=mesh))
 
+    @classmethod
+    def from_trained_checkpoint(cls, path: str,
+                                config: Optional[NaFlexConfig] = None,
+                                mesh=None):
+        """Self-trained mini-SigLIP checkpoint dir
+        (``scripts/train_siglip.py``): the offline-trained rung of the
+        checkpoint ladder — region embeddings land in a REAL learned
+        image-text space (the contrastive space is the MAP-pooled
+        output, so pooling is forced to 'cls')."""
+        from gvl_tpu.models.siglip import SigLIPVisionTower
+        from gvl_tpu.training.siglip_train import load_minisiglip
+
+        _, variables, vision_cfg, _ = load_minisiglip(path)
+        config = config or NaFlexConfig()
+        config.embedding_dim = vision_cfg.hidden_size
+        config.pool_strategy = "cls"
+        # crops are encoded at the tower's native training canvas
+        config.base_resolution = vision_cfg.image_size
+        config.region_resolution = vision_cfg.image_size
+        tower = SigLIPVisionTower(vision_cfg)
+        return cls(config, backend=JaxSigLIPBackend(
+            tower, {"params": variables["params"]["vision"]}, config.dtype,
+            image_mean=config.image_mean, image_std=config.image_std,
+            pool_strategy="cls", mesh=mesh))
+
     # ------------------------------------------------------------ encoding
 
     def _pool(self, sequence, pooled: np.ndarray) -> np.ndarray:
