@@ -191,6 +191,17 @@ def build_segmenter(config, mesh=None):
         sam_dir = _resolve_checkpoint(getattr(p, "sam_vit_dir", None))
         siglip_dir = _resolve_checkpoint(
             getattr(p, "siglip_checkpoint", None))
+        seg_ckpt = _resolve_checkpoint(getattr(p, "sam_checkpoint", None))
+        from gvl_tpu.training.siglip_train import is_minisiglip_checkpoint
+
+        if siglip_dir and is_minisiglip_checkpoint(siglip_dir) and seg_ckpt:
+            # fully offline rung: trained segmenter proposals scored in
+            # the self-trained mini-SigLIP image-text space
+            from gvl_tpu.perception.open_vocab import (
+                create_trained_open_vocab_segmenter,
+            )
+
+            return create_trained_open_vocab_segmenter(seg_ckpt, siglip_dir)
         if sam_dir and siglip_dir:
             from gvl_tpu.perception.open_vocab import (
                 create_open_vocab_segmenter,
@@ -198,8 +209,9 @@ def build_segmenter(config, mesh=None):
 
             return create_open_vocab_segmenter(sam_dir, siglip_dir)
         logger.warning(
-            "sam_backend='open_vocab' needs sam_vit_dir + "
-            "siglip_checkpoint directories; falling back to 'auto'")
+            "sam_backend='open_vocab' needs sam_vit_dir + siglip_checkpoint"
+            " HF directories (or sam_checkpoint + a trained mini-SigLIP"
+            " dir); falling back to 'auto'")
         backend = "auto"
     ckpt = _resolve_checkpoint(getattr(p, "sam_checkpoint", None))
     if backend == "jax" or (backend == "auto" and ckpt):

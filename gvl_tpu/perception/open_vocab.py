@@ -47,6 +47,8 @@ class OpenVocabSamBackend:
         iou_threshold: float = 0.7,  # proposal dedupe (mask NMS)
         score_threshold: float = 0.1,
         max_proposals: int = 16,
+        propose_fn=None,           # frames -> (masks [B,P,h,w], scores [B,P])
+        region_resolution: Optional[int] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -66,33 +68,41 @@ class OpenVocabSamBackend:
         from gvl_tpu.perception.semantic import NaFlexConfig, RegionExtractor
 
         self._naflex = NaFlexConfig()
+        if region_resolution:
+            self._naflex.region_resolution = region_resolution
         self._extractor = RegionExtractor(self._naflex)
 
-        from gvl_tpu.models.sam_vit import sam_predict
+        if propose_fn is not None:
+            self._proposals = propose_fn
+        else:
+            from gvl_tpu.models.sam_vit import sam_predict
 
-        size = sam_config.image_size
-        step = size / grid
-        pts = np.stack(np.meshgrid(
-            (np.arange(grid) + 0.5) * step, (np.arange(grid) + 0.5) * step,
-            indexing="xy"), -1).reshape(-1, 1, 2).astype(np.float32)
-        self._points = pts                       # [G², 1, 2]
+            size = sam_config.image_size
+            step = size / grid
+            pts = np.stack(np.meshgrid(
+                (np.arange(grid) + 0.5) * step,
+                (np.arange(grid) + 0.5) * step,
+                indexing="xy"), -1).reshape(-1, 1, 2).astype(np.float32)
+            self._points = pts                   # [G², 1, 2]
 
-        mean = jnp.asarray(SAM_MEAN)
-        std = jnp.asarray(SAM_STD)
+            mean = jnp.asarray(SAM_MEAN)
+            std = jnp.asarray(SAM_STD)
 
-        def propose(params, pixels_u8, points, labels):
-            pixels = (pixels_u8.astype(jnp.float32) - mean) / std
-            masks, iou = sam_predict(params, pixels, sam_config,
-                                     input_points=points,
-                                     input_labels=labels,
-                                     multimask_output=True)
-            # best of the 3 multimask outputs per point
-            best = jnp.argmax(iou, axis=-1)
-            take = jax.nn.one_hot(best, masks.shape[2], dtype=masks.dtype)
-            mask = jnp.einsum("bpmhw,bpm->bphw", masks, take)
-            return mask > 0.0, jnp.max(iou, axis=-1)
+            def propose(params, pixels_u8, points, labels):
+                pixels = (pixels_u8.astype(jnp.float32) - mean) / std
+                masks, iou = sam_predict(params, pixels, sam_config,
+                                         input_points=points,
+                                         input_labels=labels,
+                                         multimask_output=True)
+                # best of the 3 multimask outputs per point
+                best = jnp.argmax(iou, axis=-1)
+                take = jax.nn.one_hot(best, masks.shape[2],
+                                      dtype=masks.dtype)
+                mask = jnp.einsum("bpmhw,bpm->bphw", masks, take)
+                return mask > 0.0, jnp.max(iou, axis=-1)
 
-        self._propose = jax.jit(propose)
+            self._propose = jax.jit(propose)
+            self._proposals = self._sam_proposals
 
         def embed_text(params, ids):
             out = text_tower.apply(params, ids)["pooled"]
@@ -100,6 +110,30 @@ class OpenVocabSamBackend:
                 jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-9)
 
         self._embed_text = jax.jit(embed_text)
+
+    def _sam_proposals(self, frames):
+        """Point-grid SAM proposals → (masks [B,P,h',w'], scores [B,P])."""
+        import jax.numpy as jnp
+
+        from gvl_tpu.runtime.native import resize_image
+
+        size = self.sam_config.image_size
+        batch = np.stack([
+            resize_image(np.ascontiguousarray(f), size, size)
+            for f in frames
+        ]).astype(np.uint8)
+        n_pts = self._points.shape[0]
+        points = np.broadcast_to(
+            self._points[None], (len(frames), n_pts, 1, 2)).copy()
+        labels = np.ones((len(frames), n_pts, 1), np.int32)
+        masks, iou = self._propose(
+            self.sam_params, jnp.asarray(batch), jnp.asarray(points),
+            jnp.asarray(labels))
+        masks = np.asarray(masks)
+        iou = np.asarray(iou)
+        if iou.ndim == 3:
+            iou = iou[..., 0]
+        return masks, iou
 
     # ------------------------------------------------------------ loading
 
@@ -142,6 +176,74 @@ class OpenVocabSamBackend:
         return cls(sam_config, sam_params, vision_backend, text_tower,
                    text_vars, tokenize, **kw)
 
+    @classmethod
+    def from_trained_checkpoints(
+        cls,
+        segmenter_checkpoint: str,
+        minisiglip_dir: str,
+        proposal_concepts: Optional[Sequence[str]] = None,
+        **kw,
+    ) -> "OpenVocabSamBackend":
+        """Fully offline open-vocab composite from self-trained weights.
+
+        Proposals come from the trained
+        :class:`~gvl_tpu.models.sam.PromptableSegmenter` prompted with
+        its training concepts (class-agnostic after cross-concept mask
+        NMS); naming is open-vocabulary — every proposal is scored
+        against the CALLER's text prompts in the mini-SigLIP image-text
+        space (:mod:`gvl_tpu.training.siglip_train`).  The offline rung
+        of the ladder :meth:`from_checkpoints` tops with real SAM +
+        SigLIP weights (reference capability:
+        `/root/reference/src/perception/sam_concept_segmenter.py:289-361`).
+        """
+        from gvl_tpu.models.siglip import SigLIPVisionTower
+        from gvl_tpu.perception.segmenter import (
+            SAMConfig as SegSAMConfig,
+            create_sam_segmenter,
+        )
+        from gvl_tpu.perception.semantic import JaxSigLIPBackend, NaFlexConfig
+        from gvl_tpu.training.siglip_train import (
+            byte_tokenize,
+            load_minisiglip,
+        )
+
+        model, variables, vision_cfg, text_cfg = load_minisiglip(
+            minisiglip_dir)
+        nc = NaFlexConfig(pool_strategy="cls")
+        vision_backend = JaxSigLIPBackend(
+            SigLIPVisionTower(vision_cfg),
+            {"params": variables["params"]["vision"]}, nc.dtype,
+            image_mean=nc.image_mean, image_std=nc.image_std,
+            pool_strategy="cls")
+        text_params = {"params": variables["params"]["text"]}
+
+        seg = create_sam_segmenter(SegSAMConfig(), use_model=True,
+                                   checkpoint=segmenter_checkpoint)
+        seg_backend = seg.backend
+        if proposal_concepts is None:
+            from gvl_tpu.training.segmenter_train import CONCEPTS
+
+            proposal_concepts = CONCEPTS
+        proposal_concepts = list(proposal_concepts)
+
+        def propose(frames):
+            out, n_real = seg_backend.submit(frames, proposal_concepts)
+            masks = np.asarray(out["mask"], bool)[:n_real]
+            scores = np.asarray(out["scores"], np.float32)[:n_real]
+            b, c, q = scores.shape
+            return (masks.reshape(b, c * q, *masks.shape[3:]),
+                    scores.reshape(b, c * q))
+
+        def tokenize(texts):
+            return byte_tokenize(list(texts), text_cfg.max_position)
+
+        from gvl_tpu.models.siglip import SigLIPTextTower
+
+        return cls(None, None, vision_backend,
+                   SigLIPTextTower(text_cfg), text_params, tokenize,
+                   propose_fn=propose,
+                   region_resolution=vision_cfg.image_size, **kw)
+
     # ----------------------------------------------------------- internals
 
     def _concept_embeddings(self, concepts: Sequence[str]) -> np.ndarray:
@@ -176,26 +278,11 @@ class OpenVocabSamBackend:
     # ------------------------------------------------------------ protocol
 
     def __call__(self, frames, concepts, frame_indices):
-        import jax.numpy as jnp
+        from gvl_tpu.runtime.native import resize_mask
 
-        from gvl_tpu.runtime.native import resize_image, resize_mask
-
-        size = self.sam_config.image_size
-        batch = np.stack([
-            resize_image(np.ascontiguousarray(f), size, size)
-            for f in frames
-        ]).astype(np.uint8)
-        n_pts = self._points.shape[0]
-        points = np.broadcast_to(
-            self._points[None], (len(frames), n_pts, 1, 2)).copy()
-        labels = np.ones((len(frames), n_pts, 1), np.int32)
-
-        prop_masks, prop_iou = self._propose(
-            self.sam_params, jnp.asarray(batch), jnp.asarray(points),
-            jnp.asarray(labels))
-        prop_masks = np.asarray(prop_masks)     # [B, G², h', w'] bool
-        prop_iou = np.asarray(prop_iou)[..., 0] \
-            if np.asarray(prop_iou).ndim == 3 else np.asarray(prop_iou)
+        prop_masks, prop_iou = self._proposals(frames)
+        prop_masks = np.asarray(prop_masks)     # [B, P, h', w'] bool
+        prop_iou = np.asarray(prop_iou)         # [B, P]
 
         text_emb = self._concept_embeddings(concepts)   # [C, D]
 
@@ -257,4 +344,18 @@ def create_open_vocab_segmenter(
 
     backend = OpenVocabSamBackend.from_checkpoints(
         sam_dir, siglip_vision_dir, siglip_text_dir, **kw)
+    return SAMConceptSegmenter(config or SAMConfig(), backend=backend)
+
+
+def create_trained_open_vocab_segmenter(
+    segmenter_checkpoint: str,
+    minisiglip_dir: str,
+    config=None,
+    **kw,
+):
+    """SAMConceptSegmenter over the self-trained composite (offline)."""
+    from gvl_tpu.perception.segmenter import SAMConceptSegmenter, SAMConfig
+
+    backend = OpenVocabSamBackend.from_trained_checkpoints(
+        segmenter_checkpoint, minisiglip_dir, **kw)
     return SAMConceptSegmenter(config or SAMConfig(), backend=backend)

@@ -402,6 +402,82 @@ def evaluate_minisiglip(
     }
 
 
+# prompts NEVER sampled in training (not in any CAPTIONS pool): the
+# zero-shot generalization probe for open-vocab naming
+UNSEEN_PROMPTS: dict[str, str] = {
+    "player": "the protagonist",
+    "enemy": "a villain",
+    "boss": "a giant foe",
+    "item": "a power-up",
+}
+
+
+def evaluate_open_vocab(
+    backend,
+    n_scenes: int = 16,
+    style: str = "base",
+    prompts: Optional[dict] = None,
+    scene_size: int = 256,
+    seed: int = 4321,
+    iou_match: float = 0.5,
+) -> dict:
+    """Grounded open-vocab segmentation metrics over synthetic scenes.
+
+    ``backend`` follows the segmenter backend protocol
+    (``(frames, concepts, frame_indices) → results[frame][concept]``,
+    e.g. :class:`~gvl_tpu.perception.open_vocab.OpenVocabSamBackend`).
+    Scenes come with ground-truth (concept, mask) instances; the backend
+    is prompted with ``prompts[concept]`` text (defaults to the concept
+    string itself) and scored per GT instance:
+
+    - ``det_correct``:  a detection under the RIGHT prompt overlaps the
+      instance at IoU ≥ ``iou_match`` (naming + localization);
+    - ``label_acc``: among instances localized by ANY prompt, the
+      fraction localized by the right one (naming given localization).
+    """
+    prompts = prompts or {c: c for c in CONCEPTS}
+    rng = np.random.default_rng(seed)
+    concept_texts = [prompts[c] for c in CONCEPTS]
+
+    total = 0
+    det_correct = 0
+    localized = 0
+    label_correct = 0
+    for _ in range(n_scenes):
+        frame, gt_masks, gt_valid = make_scene(rng, scene_size, 2,
+                                               style=style)
+        results = backend([frame], concept_texts, [0])[0]
+        for ci in range(len(CONCEPTS)):
+            for k in range(gt_valid.shape[1]):
+                if not gt_valid[ci, k] or not gt_masks[ci, k].any():
+                    continue
+                total += 1
+                gt = gt_masks[ci, k]
+                best_iou_by_concept = []
+                for pj in range(len(CONCEPTS)):
+                    best = 0.0
+                    for det in results[pj]:
+                        m = det["mask"].mask
+                        inter = (m & gt).sum()
+                        union = (m | gt).sum()
+                        if union:
+                            best = max(best, inter / union)
+                    best_iou_by_concept.append(best)
+                if best_iou_by_concept[ci] >= iou_match:
+                    det_correct += 1
+                if max(best_iou_by_concept) >= iou_match:
+                    localized += 1
+                    if best_iou_by_concept[ci] >= iou_match:
+                        label_correct += 1
+    return {
+        "det_correct": det_correct / max(total, 1),
+        "label_acc": label_correct / max(localized, 1),
+        "localized": localized / max(total, 1),
+        "n_instances": total,
+        "style": style,
+    }
+
+
 # --------------------------------------------------------------------------
 # Checkpoint
 # --------------------------------------------------------------------------

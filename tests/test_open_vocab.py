@@ -98,6 +98,70 @@ class TestOpenVocabBackend:
         backend(frames, ["boss"], [0])
         assert len(backend._text_cache) == 1
 
+    def test_trained_composite_and_ladder(self, tmp_path):
+        """Offline rung: trained-segmenter proposals + mini-SigLIP naming."""
+        from gvl_tpu.models.sam import (
+            PromptableSegmenter,
+            SamConfig,
+            save_segmenter_npz,
+        )
+        from gvl_tpu.perception.open_vocab import OpenVocabSamBackend
+        from gvl_tpu.training.siglip_train import (
+            SigLIPTrainConfig,
+            evaluate_open_vocab,
+            minisiglip_text_config,
+            minisiglip_vision_config,
+            save_minisiglip,
+            train_minisiglip,
+        )
+
+        cfg = SigLIPTrainConfig(
+            steps=1, batch_size=8, pool_batches=1, canvas=64,
+            vision=minisiglip_vision_config(
+                hidden_size=32, intermediate_size=64, num_layers=1,
+                num_heads=2, image_size=64),
+            text=minisiglip_text_config(
+                hidden_size=32, intermediate_size=64, num_layers=1,
+                num_heads=2, projection_size=32))
+        variables = train_minisiglip(cfg)
+        ms_dir = tmp_path / "minisiglip"
+        save_minisiglip(variables, ms_dir, cfg.vision, cfg.text)
+
+        seg_model = PromptableSegmenter(SamConfig())
+        seg_vars = seg_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)),
+            jnp.zeros((1, 16), jnp.int32))
+        seg_ckpt = tmp_path / "sam.npz"
+        save_segmenter_npz(seg_vars, seg_ckpt)
+
+        composite = OpenVocabSamBackend.from_trained_checkpoints(
+            str(seg_ckpt), str(ms_dir), score_threshold=-10.0)
+        # novel (never-trained) prompt strings must round-trip the protocol
+        frames = [np.random.RandomState(0).randint(
+            0, 255, (120, 160, 3), np.uint8)]
+        res = composite(frames, ["a villain", "a power-up"], [0])
+        assert len(res) == 1 and len(res[0]) == 2
+        for dets in res[0]:
+            for det in dets:
+                assert det["mask"].mask.shape == (120, 160)
+
+        m = evaluate_open_vocab(composite, n_scenes=1)
+        assert set(m) >= {"det_correct", "label_acc", "localized",
+                          "n_instances"}
+
+        # preset ladder routes (sam_checkpoint, minisiglip dir) here
+        from gvl_tpu.config.presets import load_preset
+        from gvl_tpu.perception.batch import build_segmenter
+        from gvl_tpu.perception.segmenter import SAMConceptSegmenter
+
+        preset = load_preset("light")
+        preset.perception.sam_backend = "open_vocab"
+        preset.perception.sam_checkpoint = str(seg_ckpt)
+        preset.perception.siglip_checkpoint = str(ms_dir)
+        seg = build_segmenter(preset)
+        assert isinstance(seg, SAMConceptSegmenter)
+        assert isinstance(seg.backend, OpenVocabSamBackend)
+
     def test_tracker_integration(self, backend):
         from gvl_tpu.perception.segmenter import SAMConceptSegmenter, SAMConfig
 
