@@ -84,14 +84,18 @@ class ProjectorBank:
 
     def init(self, rng: Optional[jax.Array] = None) -> "ProjectorBank":
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        init = jax.jit(self.module.init)  # avoid eager per-op dispatch
-        for i, (name, dim_attr) in enumerate(MODALITY_DIMS.items()):
-            dim = getattr(self.config, dim_attr)
-            self.params[name] = init(
-                jax.random.fold_in(rng, i), jnp.zeros((1, dim))
-            )["params"]
+        for name in MODALITY_DIMS:
+            self.params[name] = self._init_head(name, rng)
         self._initialized = True
         return self
+
+    def _init_head(self, name: str, rng: Optional[jax.Array] = None) -> dict:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dim = int(getattr(self.config, MODALITY_DIMS[name]))
+        i = list(MODALITY_DIMS).index(name)
+        # jit the init: avoids eager per-op dispatch
+        return jax.jit(self.module.init)(
+            jax.random.fold_in(rng, i), jnp.zeros((1, dim)))["params"]
 
     # ------------------------------------------------------------- project
 
@@ -130,12 +134,30 @@ class ProjectorBank:
     # ------------------------------------------------------------- weights
 
     def load_weights(self, path: str | Path) -> None:
-        """Load either a native ``.npz`` or a reference-layout ``.pt``."""
+        """Load either a native ``.npz`` or a reference-layout ``.pt``.
+
+        Heads whose input dimension doesn't match the configured modality
+        dim (e.g. a 1152-dim siglip head loaded while a trained
+        mini-SigLIP tower emits its own width) are skipped with a warning
+        — the freshly initialized head stays, instead of a shape error at
+        the first projection."""
         path = Path(path)
         if path.suffix == ".npz":
             self._load_npz(path)
         else:
             self._load_torch(path)
+        for name, dim_attr in MODALITY_DIMS.items():
+            loaded = self.params.get(name)
+            if loaded is None:
+                continue
+            want = int(getattr(self.config, dim_attr))
+            got = int(loaded["fc_in"]["kernel"].shape[0])
+            if got != want:
+                logger.warning(
+                    "projector head '%s' in %s has input dim %d but the "
+                    "configured modality dim is %d — keeping the "
+                    "initialized head", name, path, got, want)
+                self.params[name] = self._init_head(name)
         self._initialized = True
         logger.info("loaded projector weights from %s", path)
 

@@ -159,7 +159,10 @@ FAMILIES = ("binary", "mcq", "timestamp", "ocr", "audio", "causal")
 # /root/reference/data/training/lora_training_data.json).
 FAMILY_WEIGHTS = (0.2, 0.2, 0.25, 0.25, 0.1, 0.0)
 # LoRA SFT distribution: the held-out family only
-LORA_FAMILY_WEIGHTS = (0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+# LoRA curriculum: mostly the held-out causal family, with base-family
+# replay mixed in — adapter SFT without replay collapsed base-mix
+# accuracy to 0.0 (catastrophic forgetting) at r=32/lr 2e-4
+LORA_FAMILY_WEIGHTS = (0.08, 0.08, 0.1, 0.1, 0.04, 0.6)
 
 
 def _add_serving_sections(sample: QASample, rng: np.random.Generator) -> None:

@@ -148,13 +148,19 @@ def _finetune_qa_lm(args) -> int:
         train_qa_lm_lora,
     )
 
+    from gvl_tpu.models.qwen3 import Qwen3Engine
+    from gvl_tpu.training.qa_lm_train import EOS_ID
+
     base_cfg, base_params = load_qa_lm(args.qa_lm)
     logger.info("eval base model (no adapter)...")
+    base_engine = Qwen3Engine(base_cfg, {"params": base_params},
+                              eos_token_id=EOS_ID)
     base_causal = evaluate_qa_lm(base_params, base_cfg,
                                  n_samples=args.eval_samples,
-                                 families=("causal",))
+                                 families=("causal",), engine=base_engine)
     base_mix = evaluate_qa_lm(base_params, base_cfg,
-                              n_samples=args.eval_samples)
+                              n_samples=args.eval_samples,
+                              engine=base_engine)
     logger.info("base: causal=%.3f mix=%.3f",
                 base_causal["accuracy"], base_mix["accuracy"])
 
@@ -167,10 +173,13 @@ def _finetune_qa_lm(args) -> int:
 
     merged = merge_lora(lora_params, lora_cfg)
     cfg0 = replace(lora_cfg, lora_rank=0)
+    lora_engine = Qwen3Engine(cfg0, {"params": merged},
+                              eos_token_id=EOS_ID)
     lora_causal = evaluate_qa_lm(merged, cfg0,
                                  n_samples=args.eval_samples,
-                                 families=("causal",))
-    lora_mix = evaluate_qa_lm(merged, cfg0, n_samples=args.eval_samples)
+                                 families=("causal",), engine=lora_engine)
+    lora_mix = evaluate_qa_lm(merged, cfg0, n_samples=args.eval_samples,
+                              engine=lora_engine)
 
     metrics = {
         "base_causal": base_causal, "base_mix": base_mix,

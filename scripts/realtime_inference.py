@@ -365,6 +365,20 @@ def process_video(
         trigger_confidence_threshold=
             config.inference.trigger_confidence_threshold,
     )
+    # a trained mini-SigLIP tower emits its own embedding width — the
+    # siglip projector head must match the encoder actually in use
+    from gvl_tpu.utils.checkpoints import resolve_repo_path as _rrp
+
+    _sig_ckpt = _rrp(getattr(config.perception, "siglip_checkpoint", None))
+    if _sig_ckpt:
+        from gvl_tpu.training.siglip_train import is_minisiglip_checkpoint
+
+        if is_minisiglip_checkpoint(_sig_ckpt):
+            import json as _json
+
+            reasoning_config.siglip_dim = _json.loads(
+                (Path(_sig_ckpt) / "minisiglip_config.json").read_text()
+            )["vision"]["hidden_size"]
     with timer.stage("loop_init"):
         from gvl_tpu.utils.checkpoints import resolve_repo_path
 

@@ -96,3 +96,26 @@ class TestWeightInterchange:
     def test_factory_with_missing_weights(self, tmp_path):
         bank = create_projector_bank(weights_path=str(tmp_path / "nope.pt"))
         assert bank._initialized
+
+    def test_load_weights_skips_mismatched_heads(self, tmp_path):
+        """A checkpoint trained at a different modality width must not
+        poison the bank — the mismatched head keeps its fresh init and
+        projection still runs (e.g. 1152-dim siglip weights loaded while
+        a trained mini-SigLIP tower emits its own width)."""
+        from gvl_tpu.agent.config import ReasoningCoreConfig
+        from gvl_tpu.models.projector import ProjectorBank
+
+        bank = ProjectorBank(ReasoningCoreConfig()).init()
+        bank.save_weights(tmp_path / "w.npz")
+
+        cfg = ReasoningCoreConfig(siglip_dim=64)
+        bank2 = ProjectorBank(cfg).init()
+        bank2.load_weights(tmp_path / "w.npz")
+        out = bank2.project("siglip", np.zeros((2, 64), np.float32))
+        assert out.shape == (2, cfg.llm_hidden_dim)
+        # matched heads WERE loaded (videomae dims agree across configs)
+        ref = ProjectorBank(ReasoningCoreConfig())
+        ref.params = {"videomae": bank.params["videomae"]}
+        a = np.asarray(bank2.params["videomae"]["fc_in"]["kernel"])
+        b = np.asarray(bank.params["videomae"]["fc_in"]["kernel"])
+        np.testing.assert_allclose(a, b)

@@ -249,7 +249,13 @@ class TestCausalFamily:
 
         assert len(FAMILY_WEIGHTS) == len(FAMILIES)
         assert FAMILY_WEIGHTS[FAMILIES.index("causal")] == 0.0
-        assert LORA_FAMILY_WEIGHTS[FAMILIES.index("causal")] == 1.0
+        # LoRA curriculum is causal-dominant with base-family replay
+        # (pure-causal SFT measured 0.0 base-mix accuracy post-merge)
+        ci = FAMILIES.index("causal")
+        assert LORA_FAMILY_WEIGHTS[ci] >= 0.5
+        assert abs(sum(LORA_FAMILY_WEIGHTS) - 1.0) < 1e-9
+        assert any(w > 0 for i, w in enumerate(LORA_FAMILY_WEIGHTS)
+                   if i != ci)
         # the default (family=None) draw never yields causal either
         rng = np.random.default_rng(11)
         assert all(generate_qa_sample(rng).family != "causal"
