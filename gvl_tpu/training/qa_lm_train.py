@@ -158,6 +158,10 @@ FAMILIES = ("binary", "mcq", "timestamp", "ocr", "audio", "causal")
 # (mirroring the reference's causal-chain LoRA data,
 # /root/reference/data/training/lora_training_data.json).
 FAMILY_WEIGHTS = (0.2, 0.2, 0.25, 0.25, 0.1, 0.0)
+# curriculum phase 2: copy-from-context families dominate (timestamp/ocr
+# are the hardest skill — induction-style copying out of a ~3 KB prompt —
+# and the last to emerge; binary/mcq stay as replay)
+COPY_FAMILY_WEIGHTS = (0.1, 0.1, 0.35, 0.35, 0.1, 0.0)
 # LoRA SFT distribution: the held-out family only
 # LoRA curriculum: mostly the held-out causal family, with base-family
 # replay mixed in — adapter SFT without replay collapsed base-mix
@@ -465,23 +469,28 @@ def _batch_stream(cfg: QATrainConfig, tokenizer: ByteTokenizer):
         stop.set()
 
 
-def train_qa_lm(cfg: Optional[QATrainConfig] = None) -> dict:
-    """Returns trained params for ``Qwen3Model(cfg.model)``."""
+def train_qa_lm(cfg: Optional[QATrainConfig] = None,
+                init_params: Optional[dict] = None) -> dict:
+    """Returns trained params for ``Qwen3Model(cfg.model)``.
+
+    ``init_params`` warm-starts from an existing checkpoint (continued
+    training / curriculum phases over the same geometry)."""
     import optax
 
     cfg = cfg or QATrainConfig()
     tokenizer = ByteTokenizer()
     model = Qwen3Model(cfg.model)
 
-    params = model.init(jax.random.PRNGKey(cfg.seed),
-                        jnp.zeros((1, 8), jnp.int32))["params"]
+    params = init_params or model.init(
+        jax.random.PRNGKey(cfg.seed), jnp.zeros((1, 8), jnp.int32))["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("model params: %.2fM", n_params / 1e6)
 
     warmup = min(cfg.warmup, max(cfg.steps // 10, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, cfg.learning_rate, warmup, cfg.steps)
-    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(schedule, weight_decay=cfg.weight_decay))
     opt_state = tx.init(params)
 
     @jax.jit

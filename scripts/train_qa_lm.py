@@ -47,15 +47,32 @@ def main(argv=None) -> int:
     parser.add_argument("--pool-size", type=int, default=0,
                         help="0 = stream never-repeating samples")
     parser.add_argument("--eval-samples", type=int, default=60)
+    parser.add_argument("--init-from", default=None, metavar="CKPT_DIR",
+                        help="warm-start from an existing qa_lm checkpoint")
+    parser.add_argument("--copy-heavy", action="store_true",
+                        help="curriculum phase 2: upweight the "
+                             "copy-from-context families (timestamp/ocr)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
 
+    from gvl_tpu.training.qa_lm_train import (  # noqa: E402
+        COPY_FAMILY_WEIGHTS,
+        FAMILY_WEIGHTS,
+        load_qa_lm,
+    )
+
     cfg = QATrainConfig(steps=args.steps, batch_size=args.batch_size,
                         learning_rate=args.lr, seed=args.seed,
-                        pool_size=args.pool_size)
+                        pool_size=args.pool_size,
+                        family_weights=(COPY_FAMILY_WEIGHTS if args.copy_heavy
+                                        else FAMILY_WEIGHTS))
+    init_params = None
+    if args.init_from:
+        _, init_params = load_qa_lm(args.init_from)
+        logger.info("warm start from %s", args.init_from)
     t0 = time.time()
-    params = train_qa_lm(cfg)
+    params = train_qa_lm(cfg, init_params=init_params)
     logger.info("trained in %.1f s", time.time() - t0)
 
     metrics = evaluate_qa_lm(params, cfg.model,
