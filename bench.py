@@ -274,6 +274,25 @@ def bench_qa_lm(n_samples: int = 24) -> dict:
             "qa_lm_heldout_n": n_samples}
 
 
+def bench_open_vocab(n_scenes: int = 8) -> dict:
+    """Grounded open-vocab segmentation capability of the fully offline
+    composite (trained segmenter proposals × trained mini-SigLIP
+    naming) — canonical prompts, base-style scenes."""
+    from pathlib import Path
+
+    if not (Path("outputs/minisiglip/minisiglip_config.json").exists()
+            and Path("outputs/sam_params.npz").exists()):
+        return {}
+    from gvl_tpu.perception.open_vocab import OpenVocabSamBackend
+    from gvl_tpu.training.siglip_train import evaluate_open_vocab
+
+    backend = OpenVocabSamBackend.from_trained_checkpoints(
+        "outputs/sam_params.npz", "outputs/minisiglip")
+    m = evaluate_open_vocab(backend, n_scenes=n_scenes, style="base")
+    return {"open_vocab_det_correct": round(m["det_correct"], 3),
+            "open_vocab_label_acc": round(m["label_acc"], 3)}
+
+
 def main() -> None:
     from gvl_tpu.utils.jax_setup import setup_jax
 
@@ -287,6 +306,7 @@ def main() -> None:
         extra["decode_vs_target"] = round(
             extra["decode_tok_s_8b"] / TARGET_DECODE_TOK_S, 2)
         extra.update(bench_qa_lm())
+        extra.update(bench_open_vocab())
 
     print(json.dumps({
         "metric": "siglip_so400m_images_per_sec_per_chip",

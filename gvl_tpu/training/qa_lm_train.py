@@ -106,9 +106,11 @@ def _default_system() -> str:
     return _DEFAULT_SYSTEM
 
 
-def _timeline(rng: np.random.Generator) -> tuple[list[str], dict]:
+def _timeline(rng: np.random.Generator,
+              n_events_range: tuple[int, int] = (6, 14),
+              ) -> tuple[list[str], dict]:
     """Random timeline lines + a fact dict questions draw from."""
-    n_events = int(rng.integers(6, 14))
+    n_events = int(rng.integers(*n_events_range))
     times = np.sort(rng.choice(np.arange(1, 580), n_events, replace=False))
     present = list(rng.choice(ENTITIES, rng.integers(1, 4), replace=False))
     facts: dict = {"present": present, "first_seen": {}, "ocr": [],
@@ -235,18 +237,25 @@ def _add_serving_sections(sample: QASample, rng: np.random.Generator) -> None:
 
 def generate_qa_sample(rng: np.random.Generator,
                        family: Optional[str] = None,
-                       serving_sections: bool = True) -> QASample:
-    sample = _generate_base_sample(rng, family)
+                       serving_sections: bool = True,
+                       n_events_range: tuple[int, int] = (6, 14),
+                       short_system: bool = False,
+                       ) -> QASample:
+    sample = _generate_base_sample(rng, family, n_events_range,
+                                   short_system)
     if serving_sections:
         _add_serving_sections(sample, rng)
     return sample
 
 
 def _generate_base_sample(rng: np.random.Generator,
-                          family: Optional[str] = None) -> QASample:
-    lines, facts = _timeline(rng)
+                          family: Optional[str] = None,
+                          n_events_range: tuple[int, int] = (6, 14),
+                          short_system: bool = False,
+                          ) -> QASample:
+    lines, facts = _timeline(rng, n_events_range)
     present = facts["present"]
-    system = (_default_system() if rng.random() < 0.7
+    system = (_default_system() if not short_system and rng.random() < 0.7
               else str(rng.choice(_SHORT_SYSTEMS)))
     if family is None:
         r = rng.random()
@@ -417,7 +426,22 @@ class QATrainConfig:
     pool_size: int = 0
     log_every: int = 200
     family_weights: tuple = FAMILY_WEIGHTS
+    # context-curriculum knobs: copying-from-context (induction) forms
+    # far faster on short bare prompts; a "short" phase trains at
+    # max_len 640 / 2-6 events / short system / no serving sections,
+    # then the full distribution resumes from that checkpoint
+    serving_sections: bool = True
+    n_events_range: tuple = (6, 14)
+    short_system: bool = False
     model: Qwen3Config = field(default_factory=qa_lm_config)
+
+
+def short_curriculum_config(**kw) -> "QATrainConfig":
+    """Phase-A curriculum: short contexts to form the copy skill."""
+    base = dict(max_len=640, serving_sections=False, short_system=True,
+                n_events_range=(2, 6), family_weights=COPY_FAMILY_WEIGHTS)
+    base.update(kw)
+    return QATrainConfig(**base)
 
 
 def _render_batch(rng: np.random.Generator, cfg: QATrainConfig,
@@ -427,7 +451,11 @@ def _render_batch(rng: np.random.Generator, cfg: QATrainConfig,
     fams = rng.choice(len(FAMILIES), cfg.batch_size,
                       p=np.asarray(cfg.family_weights))
     for i in range(cfg.batch_size):
-        sample = generate_qa_sample(rng, family=FAMILIES[int(fams[i])])
+        sample = generate_qa_sample(
+            rng, family=FAMILIES[int(fams[i])],
+            serving_sections=cfg.serving_sections,
+            n_events_range=cfg.n_events_range,
+            short_system=cfg.short_system)
         tokens[i], mask[i], _ = encode_sample(sample, tokenizer, cfg.max_len)
     return tokens, mask
 
@@ -530,12 +558,17 @@ def evaluate_qa_lm(
     max_new_tokens: int = 48,
     families: Optional[tuple] = None,
     engine=None,
+    serving_sections: bool = True,
+    n_events_range: tuple[int, int] = (6, 14),
+    short_system: bool = False,
 ) -> dict:
     """Held-out grounded-QA accuracy through the REAL Qwen3Engine
     decode path (greedy).  ``families`` restricts the sample
     distribution (e.g. ``("causal",)`` for the LoRA held-out family);
     default draws the base-training mix.  Pass ``engine`` to reuse a
-    compiled engine across eval calls."""
+    compiled engine across eval calls.  The context knobs mirror
+    :class:`QATrainConfig` so curriculum phases evaluate on their own
+    distribution."""
     from gvl_tpu.models.qwen3 import Qwen3Engine
 
     model_cfg = model_cfg or qa_lm_config()
@@ -547,7 +580,10 @@ def evaluate_qa_lm(
     per_family: dict[str, list[int]] = {}
     for _ in range(n_samples):
         fam = str(rng.choice(families)) if families else None
-        sample = generate_qa_sample(rng, family=fam)
+        sample = generate_qa_sample(rng, family=fam,
+                                    serving_sections=serving_sections,
+                                    n_events_range=n_events_range,
+                                    short_system=short_system)
         # same front-trim budget as training
         tokens, _, prompt_len = encode_sample(
             sample, tokenizer, 3072)

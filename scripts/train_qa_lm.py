@@ -50,8 +50,14 @@ def main(argv=None) -> int:
     parser.add_argument("--init-from", default=None, metavar="CKPT_DIR",
                         help="warm-start from an existing qa_lm checkpoint")
     parser.add_argument("--copy-heavy", action="store_true",
-                        help="curriculum phase 2: upweight the "
-                             "copy-from-context families (timestamp/ocr)")
+                        help="upweight the copy-from-context families "
+                             "(timestamp/ocr)")
+    parser.add_argument("--curriculum", default="full",
+                        choices=["full", "short"],
+                        help="'short': phase-A induction curriculum — "
+                             "640-byte bare prompts, 2-6 events (copying "
+                             "forms far faster); warm-start the full "
+                             "distribution from its checkpoint")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -60,13 +66,16 @@ def main(argv=None) -> int:
         COPY_FAMILY_WEIGHTS,
         FAMILY_WEIGHTS,
         load_qa_lm,
+        short_curriculum_config,
     )
 
-    cfg = QATrainConfig(steps=args.steps, batch_size=args.batch_size,
-                        learning_rate=args.lr, seed=args.seed,
-                        pool_size=args.pool_size,
-                        family_weights=(COPY_FAMILY_WEIGHTS if args.copy_heavy
-                                        else FAMILY_WEIGHTS))
+    weights = (COPY_FAMILY_WEIGHTS if args.copy_heavy or
+               args.curriculum == "short" else FAMILY_WEIGHTS)
+    common = dict(steps=args.steps, batch_size=args.batch_size,
+                  learning_rate=args.lr, seed=args.seed,
+                  pool_size=args.pool_size, family_weights=weights)
+    cfg = (short_curriculum_config(**common)
+           if args.curriculum == "short" else QATrainConfig(**common))
     init_params = None
     if args.init_from:
         _, init_params = load_qa_lm(args.init_from)
@@ -79,13 +88,24 @@ def main(argv=None) -> int:
                              n_samples=args.eval_samples)
     logger.info("held-out grounded QA: acc=%.3f by_family=%s",
                 metrics["accuracy"], metrics["by_family"])
+    extra = {}
+    if args.curriculum == "short":
+        extra["heldout_short"] = evaluate_qa_lm(
+            params, cfg.model, n_samples=args.eval_samples,
+            serving_sections=False, n_events_range=(2, 6),
+            short_system=True)
+        logger.info("short-context held-out: acc=%.3f by_family=%s",
+                    extra["heldout_short"]["accuracy"],
+                    extra["heldout_short"]["by_family"])
 
     save_qa_lm(params, args.out, cfg.model)
     import json
 
     (Path(args.out) / "metrics.json").write_text(json.dumps({
         "heldout": metrics, "steps": args.steps,
-        "pool_size": args.pool_size, "seed": args.seed}, indent=2))
+        "curriculum": args.curriculum,
+        "pool_size": args.pool_size, "seed": args.seed, **extra},
+        indent=2))
     logger.info("saved %s", args.out)
     return 0
 
