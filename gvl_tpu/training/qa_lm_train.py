@@ -433,6 +433,10 @@ class QATrainConfig:
     serving_sections: bool = True
     n_events_range: tuple = (6, 14)
     short_system: bool = False
+    # per-sample probability of rendering with the SHORT profile inside
+    # a full-distribution phase: anchors the phase-A copy skill while
+    # the model learns to apply it at serving length
+    short_mix: float = 0.0
     model: Qwen3Config = field(default_factory=qa_lm_config)
 
 
@@ -451,11 +455,12 @@ def _render_batch(rng: np.random.Generator, cfg: QATrainConfig,
     fams = rng.choice(len(FAMILIES), cfg.batch_size,
                       p=np.asarray(cfg.family_weights))
     for i in range(cfg.batch_size):
+        short = cfg.short_mix > 0 and rng.random() < cfg.short_mix
         sample = generate_qa_sample(
             rng, family=FAMILIES[int(fams[i])],
-            serving_sections=cfg.serving_sections,
-            n_events_range=cfg.n_events_range,
-            short_system=cfg.short_system)
+            serving_sections=not short and cfg.serving_sections,
+            n_events_range=(2, 6) if short else cfg.n_events_range,
+            short_system=short or cfg.short_system)
         tokens[i], mask[i], _ = encode_sample(sample, tokenizer, cfg.max_len)
     return tokens, mask
 

@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     parser.add_argument("--copy-heavy", action="store_true",
                         help="upweight the copy-from-context families "
                              "(timestamp/ocr)")
+    parser.add_argument("--short-mix", type=float, default=0.0,
+                        help="per-sample probability of the short profile "
+                             "inside a full phase (anchors the copy skill)")
     parser.add_argument("--curriculum", default="full",
                         choices=["full", "short"],
                         help="'short': phase-A induction curriculum — "
@@ -73,7 +76,8 @@ def main(argv=None) -> int:
                args.curriculum == "short" else FAMILY_WEIGHTS)
     common = dict(steps=args.steps, batch_size=args.batch_size,
                   learning_rate=args.lr, seed=args.seed,
-                  pool_size=args.pool_size, family_weights=weights)
+                  pool_size=args.pool_size, family_weights=weights,
+                  short_mix=args.short_mix)
     cfg = (short_curriculum_config(**common)
            if args.curriculum == "short" else QATrainConfig(**common))
     init_params = None
