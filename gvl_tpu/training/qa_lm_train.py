@@ -275,30 +275,68 @@ def _generate_base_sample(rng: np.random.Generator,
             ent = str(rng.choice(present))
             t = facts["first_seen"].get(ent)
             cite = f" ([{_mmss(t)}])" if t is not None else ""
-            answer, truth = f"**Answer:** Yes{cite}", "Yes"
+            yes = True
         else:
             absent = [e for e in ENTITIES if e not in present] or ["dragon"]
             ent = str(rng.choice(absent))
-            answer, truth = ("**Answer:** No — the timeline never "
-                             f"mentions a {ent}.", "No")
+            yes = False
         question = (f"Does a {ent} appear at any point in this video? "
                     "Answer Yes or No.")
+        # ~half render the benchmark runner's lettered-options suffix
+        # (BenchmarkSample.get_prompt letters BINARY options too) — the
+        # answer then leads with the letter, exactly what parse_answer
+        # maps back to the option text
+        if rng.random() < 0.5:
+            question += ("\n\nOptions:\nA) Yes\nB) No\n\n"
+                         "Answer with the letter of the correct option.")
+            answer = (f"**Answer:** A) Yes{cite}" if yes
+                      else "**Answer:** B) No — the timeline never "
+                           f"mentions a {ent}.")
+        else:
+            answer = (f"**Answer:** Yes{cite}" if yes
+                      else "**Answer:** No — the timeline never "
+                           f"mentions a {ent}.")
+        truth = "Yes" if yes else "No"
         return QASample(system, lines, question, answer, truth, "binary")
 
     if family == "mcq":  # MCQ: which entity appears
         others = [e for e in present if e != "player"]
-        if not others:   # force a non-player entity into the timeline
-            ent = str(rng.choice([e for e in ENTITIES if e != "player"]))
-            t = int(rng.integers(1, 580))
-            lines.append(f"[{_mmss(t)}] {ent} detected")
-            lines.sort()
-            facts["first_seen"].setdefault(ent, t)
-            others = [ent]
-        correct = str(rng.choice(others))
-        wrong = list(rng.choice(
-            [d for d in DISTRACTOR_OPTIONS], 3, replace=False))
-        options = wrong + [correct]
-        rng.shuffle(options)
+        # benchmark-shaped variant (~40%): options are ALL non-player
+        # concepts + "None of these" (the synthetic loaders' exact
+        # shape), including the none-correct case where the timeline
+        # mentions only the player
+        if rng.random() < 0.4:
+            concept_opts = [e for e in ENTITIES if e != "player"]
+            if others and rng.random() < 0.75:
+                correct = str(rng.choice(others))
+                # any OTHER concept in the timeline would make the
+                # answer ambiguous — strip their lines
+                stale = [e for e in others if e != correct]
+                lines = [ln for ln in lines
+                         if not any(e in ln for e in stale)]
+                for e in stale:
+                    facts["first_seen"].pop(e, None)
+            else:
+                correct = "None of these"
+                lines = [ln for ln in lines
+                         if not any(e in ln for e in others)]
+                for e in others:
+                    facts["first_seen"].pop(e, None)
+            options = concept_opts + ["None of these"]
+        else:
+            if not others:  # force a non-player entity into the timeline
+                ent = str(rng.choice(
+                    [e for e in ENTITIES if e != "player"]))
+                t = int(rng.integers(1, 580))
+                lines.append(f"[{_mmss(t)}] {ent} detected")
+                lines.sort()
+                facts["first_seen"].setdefault(ent, t)
+                others = [ent]
+            correct = str(rng.choice(others))
+            wrong = list(rng.choice(
+                [d for d in DISTRACTOR_OPTIONS], 3, replace=False))
+            options = wrong + [correct]
+            rng.shuffle(options)
         letter = chr(ord("A") + options.index(correct))
         question = ("Besides the player, which of the following entities "
                     "appears in this video?\n\nOptions:")

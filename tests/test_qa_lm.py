@@ -69,6 +69,10 @@ class TestGenerator:
             line = [ln for ln in s.question.split("\n")
                     if ln.startswith(f"{s.ground_truth})")][0]
             option = line.split(") ", 1)[1]
+            if option == "None of these":
+                # grounded by ABSENCE: tested in
+                # TestBenchmarkShapedVariants
+                continue
             # the correct option's entity really is in the timeline
             assert any(option in ln for ln in s.context_lines), (
                 option, s.context_lines)
@@ -332,3 +336,59 @@ class TestLoraQA:
         out = core.backend.engine.generate([1, 2, 3], max_new_tokens=2,
                                            temperature=0.0)
         assert len(out) >= 1
+
+
+class TestBenchmarkShapedVariants:
+    def test_binary_lettered_options_variant(self):
+        """~half of binary samples carry the benchmark runner's lettered
+        options block (BenchmarkSample.get_prompt letters BINARY options
+        too); the answer then leads with the letter."""
+        from gvl_tpu.training.qa_lm_train import generate_qa_sample
+
+        rng = np.random.default_rng(5)
+        lettered = bare = 0
+        for _ in range(60):
+            s = generate_qa_sample(rng, family="binary")
+            if "Options:\nA) Yes\nB) No" in s.question:
+                lettered += 1
+                assert ("**Answer:** A) Yes" in s.answer
+                        or "**Answer:** B) No" in s.answer)
+                # letter must agree with the truth
+                if s.ground_truth == "Yes":
+                    assert "A) Yes" in s.answer
+                else:
+                    assert "B) No" in s.answer
+            else:
+                bare += 1
+        assert lettered > 10 and bare > 10
+
+    def test_mcq_none_of_these_variant_grounded(self):
+        """Benchmark-shaped MCQs (all concepts + 'None of these') stay
+        grounded: the correct option's entity is in the timeline, and in
+        the none-case NO non-player concept is."""
+        from gvl_tpu.training.qa_lm_train import ENTITIES, generate_qa_sample
+
+        rng = np.random.default_rng(6)
+        shaped = none_correct = 0
+        for _ in range(120):
+            s = generate_qa_sample(rng, family="mcq")
+            if "None of these" not in s.question:
+                continue
+            shaped += 1
+            letter = s.ground_truth
+            idx = ord(letter) - ord("A")
+            options = [ln.split(") ", 1)[1]
+                       for ln in s.question.splitlines()
+                       if len(ln) > 2 and ln[1] == ")"]
+            correct = options[idx]
+            text = "\n".join(s.context_lines)
+            if correct == "None of these":
+                none_correct += 1
+                assert not any(e in text for e in ENTITIES
+                               if e != "player")
+            else:
+                assert correct in text
+                # no OTHER concept may ground an alternative answer
+                assert not any(e in text for e in ENTITIES
+                               if e not in ("player", correct))
+        assert shaped > 20 and none_correct > 3
