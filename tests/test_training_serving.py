@@ -196,7 +196,11 @@ class TestServingAPI:
         assert doc["status"] == "ok"
 
     def test_process_and_query(self, server):
-        video = "synthetic://api_test?duration=30&fps=2"
+        # real HUD text via the text= param: the v3 OCR checkpoint is
+        # trained with non-text negatives and (correctly) detects
+        # nothing on a text-free clip — the round-2 checkpoint's
+        # whole-frame false positive was what this test used to count
+        video = "synthetic://api_test?duration=30&fps=2&text=HP 100"
         doc = self._post(server + "/process", {"video": video})
         assert doc["timeline"]["total_events"] > 0
         answer = self._post(server + "/query", {
