@@ -274,6 +274,22 @@ def bench_qa_lm(n_samples: int = 24) -> dict:
             "qa_lm_heldout_n": n_samples}
 
 
+def bench_asr(n_utterances: int = 32) -> dict:
+    """Exact-match / CER of the shipped self-trained byte ASR
+    (outputs/asr) on never-trained holdout-profile speakers."""
+    from pathlib import Path
+
+    if not Path("outputs/asr/asr_config.json").exists():
+        return {}
+    from gvl_tpu.training.asr_train import evaluate_asr, load_asr
+
+    cfg, params = load_asr("outputs/asr")
+    m = evaluate_asr(params, cfg, n_utterances=n_utterances,
+                     profile="holdout")
+    return {"asr_holdout_exact": round(m["exact_match"], 3),
+            "asr_holdout_cer": round(m["cer"], 3)}
+
+
 def bench_open_vocab(n_scenes: int = 8) -> dict:
     """Grounded open-vocab segmentation capability of the fully offline
     composite (trained segmenter proposals × trained mini-SigLIP
@@ -289,8 +305,14 @@ def bench_open_vocab(n_scenes: int = 8) -> dict:
     backend = OpenVocabSamBackend.from_trained_checkpoints(
         "outputs/sam_params.npz", "outputs/minisiglip")
     m = evaluate_open_vocab(backend, n_scenes=n_scenes, style="base")
+    from gvl_tpu.training.siglip_train import UNSEEN_PROMPTS
+
+    p = evaluate_open_vocab(backend, n_scenes=n_scenes, style="base",
+                            prompts=UNSEEN_PROMPTS)
     return {"open_vocab_det_correct": round(m["det_correct"], 3),
-            "open_vocab_label_acc": round(m["label_acc"], 3)}
+            "open_vocab_label_acc": round(m["label_acc"], 3),
+            "open_vocab_paraphrase_det": round(p["det_correct"], 3),
+            "open_vocab_paraphrase_label_acc": round(p["label_acc"], 3)}
 
 
 def main() -> None:
@@ -307,6 +329,7 @@ def main() -> None:
             extra["decode_tok_s_8b"] / TARGET_DECODE_TOK_S, 2)
         extra.update(bench_qa_lm())
         extra.update(bench_open_vocab())
+        extra.update(bench_asr())
 
     print(json.dumps({
         "metric": "siglip_so400m_images_per_sec_per_chip",

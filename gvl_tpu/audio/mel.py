@@ -105,3 +105,39 @@ def log_mel_spectrogram(
     )
     log_spec = (log_spec + 4.0) / 4.0
     return log_spec[0] if squeeze else log_spec
+
+
+def log_mel_numpy(
+    wav: np.ndarray,
+    sample_rate: int = SAMPLE_RATE,
+    n_mels: int = N_MELS,
+    filters: np.ndarray | None = None,
+) -> np.ndarray:
+    """Host-side (numpy) twin of :func:`log_mel_spectrogram`.
+
+    Used by training data producers on tunnel-attached hosts, where
+    shipping fp16 mel (rather than f32 waveforms) cuts the per-step
+    host→device payload 4× — the upload link, not compute, bounds the
+    ASR train step.  Parity with the JAX path is tested.
+    """
+    wav = np.asarray(wav, np.float32)
+    squeeze = wav.ndim == 1
+    if squeeze:
+        wav = wav[None]
+    window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+    pad = N_FFT // 2
+    x = np.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (x.shape[-1] - N_FFT) // HOP_LENGTH
+    idx = (np.arange(n_frames)[:, None] * HOP_LENGTH
+           + np.arange(N_FFT)[None, :])
+    frames = x[:, idx] * window[None, None, :]
+    power = np.abs(np.fft.rfft(frames, n=N_FFT, axis=-1)) ** 2
+    power = power[:, :-1]
+    mel_mat = (filters if filters is not None
+               else mel_filterbank(sample_rate, N_FFT, n_mels))
+    mel = power @ mel_mat.T
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(
+        log_spec, log_spec.max(axis=(1, 2), keepdims=True) - 8.0)
+    log_spec = ((log_spec + 4.0) / 4.0).astype(np.float32)
+    return log_spec[0] if squeeze else log_spec

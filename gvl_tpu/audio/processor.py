@@ -539,9 +539,14 @@ def create_audio_processor(
     whisper_checkpoint: Optional[str] = None,
     config: Optional[AudioConfig] = None,
     event_checkpoint: Optional[str] = None,
+    asr_checkpoint: Optional[str] = None,
 ) -> AudioProcessor:
-    """Factory: Whisper JAX ASR and/or the trained event classifier when
-    their checkpoints resolve; fakes/heuristics otherwise."""
+    """Factory: the best-resolving rung of the ASR ladder plus the
+    trained event classifier when its checkpoint resolves.
+
+    ASR ladder (top to bottom): ``whisper_checkpoint`` (HF Whisper dir →
+    JAX port) → ``asr_checkpoint`` (self-trained byte ASR,
+    :mod:`gvl_tpu.training.asr_train`) → deterministic fake."""
     asr_backend = None
     if whisper_checkpoint and Path(whisper_checkpoint).exists():
         from transformers import WhisperTokenizer
@@ -551,6 +556,16 @@ def create_audio_processor(
         model, variables = load_hf_whisper(whisper_checkpoint)
         tokenizer = WhisperTokenizer.from_pretrained(whisper_checkpoint)
         asr_backend = WhisperJaxASR(model, variables, tokenizer)
+    if asr_backend is None and asr_checkpoint:
+        from gvl_tpu.training.asr_train import (
+            TrainedByteASR,
+            is_trained_asr_checkpoint,
+        )
+
+        if is_trained_asr_checkpoint(asr_checkpoint):
+            asr_backend = TrainedByteASR.from_dir(asr_checkpoint)
+            logger.info("audio ASR: self-trained byte ASR from %s",
+                        asr_checkpoint)
     event_backend = None
     if event_checkpoint and Path(event_checkpoint).exists():
         from gvl_tpu.audio.event_model import (
@@ -585,8 +600,11 @@ def build_audio_stack(preset_audio) -> tuple[AudioProcessor, Callable]:
         getattr(preset_audio, "whisper_checkpoint", None))
     event_ckpt = resolve_repo_path(
         getattr(preset_audio, "event_checkpoint", None))
+    asr_ckpt = resolve_repo_path(
+        getattr(preset_audio, "asr_checkpoint", None))
     processor = create_audio_processor(whisper_dir, config,
-                                       event_checkpoint=event_ckpt)
+                                       event_checkpoint=event_ckpt,
+                                       asr_checkpoint=asr_ckpt)
     if whisper_dir:
         logger.info("audio ASR: Whisper JAX from %s", whisper_dir)
 

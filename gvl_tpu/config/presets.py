@@ -139,6 +139,10 @@ class AudioConfig:
     # model rung above the spectral heuristic; auto-loads when the npz
     # exists, exactly like sam_checkpoint
     event_checkpoint: Optional[str] = "outputs/audio_event_params.npz"
+    # self-trained byte ASR (gvl_tpu.training.asr_train) — the trained
+    # rung below whisper_checkpoint: used when no HF Whisper dir
+    # resolves but this checkpoint exists; deterministic fake below it
+    asr_checkpoint: Optional[str] = "outputs/asr"
 
 
 @dataclass

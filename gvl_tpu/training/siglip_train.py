@@ -71,6 +71,55 @@ CAPTIONS: dict[str, tuple[str, ...]] = {
 CLASSES = tuple(CAPTIONS)
 ENTITY_CLASSES = CONCEPTS  # the 4 promptable concepts
 
+# compositional caption space (v2 curriculum): head-noun synonyms ×
+# surface templates × occasional class adjectives.  Teaches the byte
+# tower that MANY surface forms name one visual concept, so unseen
+# phrasings land near trained ones.  The UNSEEN_PROMPTS probe words
+# ("protagonist", "villain", "foe", "power-up", "giant") are EXCLUDED
+# from every pool below — the paraphrase eval stays a true holdout.
+HEAD_NOUNS: dict[str, tuple[str, ...]] = {
+    "player": ("player", "hero", "main character", "player character",
+               "avatar", "adventurer", "character you control"),
+    "enemy": ("enemy", "monster", "opponent", "adversary", "attacker",
+              "hostile creature", "baddie", "enemy unit"),
+    "boss": ("boss", "boss enemy", "boss monster", "huge monster",
+             "big bad", "elite enemy", "end-of-level enemy"),
+    "item": ("item", "pickup", "collectible", "loot", "treasure",
+             "bonus", "reward", "thing you can collect"),
+    "background": ("background", "terrain", "scenery", "ground tiles",
+                   "empty area", "level background", "floor"),
+    "ui": ("ui element", "status bar", "hud element", "health bar",
+           "interface overlay", "on-screen text", "menu bar"),
+}
+ADJECTIVES: dict[str, tuple[str, ...]] = {
+    "player": ("blue", "small", "square"),
+    "enemy": ("red", "hostile", "dangerous"),
+    "boss": ("purple", "large", "big"),
+    "item": ("yellow", "shiny", "small"),
+    "background": (), "ui": (),
+}
+TEMPLATES: tuple[str, ...] = (
+    "{}", "a {}", "the {}", "sprite of {}", "a {} sprite",
+    "{} in the game", "{} on screen", "pixel art of {}",
+    "a {} in a video game", "one {}",
+)
+
+
+def compose_caption(concept: str, rng: np.random.Generator,
+                    max_bytes: int = 32) -> str:
+    """One caption from the compositional space, ≤ ``max_bytes`` UTF-8."""
+    for _ in range(8):
+        noun = str(rng.choice(HEAD_NOUNS[concept]))
+        adjs = ADJECTIVES[concept]
+        if adjs and rng.random() < 0.25:
+            noun = f"{rng.choice(adjs)} {noun}"
+        cap = str(rng.choice(TEMPLATES)).format(noun)
+        if cap.startswith("a ") and noun[0] in "aeiou":
+            cap = "an " + cap[2:]
+        if len(cap.encode("utf-8")) <= max_bytes:
+            return cap
+    return str(rng.choice(CAPTIONS[concept]))
+
 
 def byte_tokenize(texts: Sequence[str], max_position: int = 32) -> np.ndarray:
     """Lowercased UTF-8 bytes, 0-padded to ``max_position`` — the fixed
@@ -176,15 +225,23 @@ def make_pairs(rng: np.random.Generator, n: int, canvas: int,
                styles: tuple[str, ...] = ("base", "aug"),
                scene_size: int = 256,
                canonical_captions: bool = False,
+               composed_frac: float = 0.0,
                ) -> tuple[np.ndarray, list[str], np.ndarray]:
     """n (crop, caption, class_id) training pairs.
 
     ~72% entity crops, ~18% background, ~10% UI furniture.  Captions are
     sampled from the class pool (or pinned to the canonical prompt for
-    eval)."""
+    eval); with probability ``composed_frac`` a caption is drawn from
+    the compositional noun×template space instead (v2 curriculum)."""
     images = np.zeros((n, canvas, canvas, 3), np.uint8)
     captions: list[str] = []
     class_ids = np.zeros(n, np.int32)
+
+    def sample_caption(concept: str) -> str:
+        if composed_frac and rng.random() < composed_frac:
+            return compose_caption(concept, rng)
+        return str(rng.choice(CAPTIONS[concept]))
+
     i = 0
     while i < n:
         style = styles[int(rng.integers(0, len(styles)))]
@@ -198,25 +255,23 @@ def make_pairs(rng: np.random.Generator, n: int, canvas: int,
                     continue
                 images[i] = _crop_instance(frame, gt_masks[ci, k], rng,
                                            canvas)
-                pool = CAPTIONS[concept]
-                captions.append(pool[0] if canonical_captions
-                                else str(rng.choice(pool)))
+                captions.append(CAPTIONS[concept][0] if canonical_captions
+                                else sample_caption(concept))
                 class_ids[i] = CLASSES.index(concept)
                 i += 1
         if i < n and rng.random() < 0.65:
             bg = _background_crop(frame, gt_masks, rng, canvas)
             if bg is not None:
                 images[i] = bg
-                pool = CAPTIONS["background"]
-                captions.append(pool[0] if canonical_captions
-                                else str(rng.choice(pool)))
+                captions.append(CAPTIONS["background"][0]
+                                if canonical_captions
+                                else sample_caption("background"))
                 class_ids[i] = CLASSES.index("background")
                 i += 1
         if i < n and rng.random() < 0.35:
             images[i] = _ui_crop(rng, canvas)
-            pool = CAPTIONS["ui"]
-            captions.append(pool[0] if canonical_captions
-                            else str(rng.choice(pool)))
+            captions.append(CAPTIONS["ui"][0] if canonical_captions
+                            else sample_caption("ui"))
             class_ids[i] = CLASSES.index("ui")
             i += 1
     return images, captions, class_ids
@@ -284,6 +339,7 @@ class SigLIPTrainConfig:
     seed: int = 0
     canvas: int = 128          # == NaFlexConfig.region_resolution
     styles: tuple[str, ...] = ("base", "aug")
+    composed_frac: float = 0.0  # fraction of compositional captions (v2)
     pool_batches: int = 160    # distinct pre-staged device batches
     log_every: int = 200
     vision: SigLIPVisionConfig = field(
@@ -334,7 +390,8 @@ def train_minisiglip(cfg: Optional[SigLIPTrainConfig] = None) -> dict:
     pool = []
     for _ in range(n_unique):
         imgs, caps, cls = make_pairs(rng, cfg.batch_size, cfg.canvas,
-                                     styles=cfg.styles)
+                                     styles=cfg.styles,
+                                     composed_frac=cfg.composed_frac)
         pool.append(tuple(jax.device_put(a) for a in (
             jnp.asarray(imgs), jnp.asarray(byte_tokenize(caps, mp)),
             jnp.asarray(cls))))

@@ -27,10 +27,39 @@ def resolve_repo_path(path) -> Optional[str]:
     return str(rooted) if rooted.exists() else None
 
 
+def _escape(part: str) -> str:
+    return part.replace("\\", "\\\\").replace("/", "\\/")
+
+
+def _split_key(key: str) -> tuple:
+    """Split on ``/`` not preceded by a backslash, then unescape.
+
+    Param names may themselves contain ``/`` (the Whisper encoder's
+    ``conv1/kernel``); those are escaped as ``\\/`` at save time.  Keys
+    written before escaping existed contain no backslashes, so they
+    split identically under both schemes.
+    """
+    parts, cur, i = [], [], 0
+    while i < len(key):
+        ch = key[i]
+        if ch == "\\" and i + 1 < len(key):
+            cur.append(key[i + 1])
+            i += 2
+        elif ch == "/":
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    parts.append("".join(cur))
+    return tuple(parts)
+
+
 def save_flat_npz(tree: dict, path) -> None:
     from flax.traverse_util import flatten_dict
 
-    flat = {"/".join(k): np.asarray(v)
+    flat = {"/".join(_escape(p) for p in k): np.asarray(v)
             for k, v in flatten_dict(tree).items()}
     np.savez(path, **flat)
 
@@ -40,5 +69,5 @@ def load_flat_npz(path) -> dict:
     from flax.traverse_util import unflatten_dict
 
     with np.load(path) as data:
-        flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data}
+        flat = {_split_key(k): jnp.asarray(data[k]) for k in data}
     return unflatten_dict(flat)

@@ -52,6 +52,12 @@ def main(argv=None) -> int:
     parser.add_argument("--copy-heavy", action="store_true",
                         help="upweight the copy-from-context families "
                              "(timestamp/ocr)")
+    parser.add_argument("--family-weights", type=float, nargs=6,
+                        default=None, metavar="W",
+                        help="explicit sampling weights over "
+                             "(binary, mcq, timestamp, ocr, audio, causal)"
+                             " — overrides --copy-heavy; use for polish "
+                             "phases targeting weak families")
     parser.add_argument("--short-mix", type=float, default=0.0,
                         help="per-sample probability of the short profile "
                              "inside a full phase (anchors the copy skill)")
@@ -72,8 +78,12 @@ def main(argv=None) -> int:
         short_curriculum_config,
     )
 
-    weights = (COPY_FAMILY_WEIGHTS if args.copy_heavy or
-               args.curriculum == "short" else FAMILY_WEIGHTS)
+    if args.family_weights is not None:
+        total = sum(args.family_weights)
+        weights = tuple(w / total for w in args.family_weights)
+    else:
+        weights = (COPY_FAMILY_WEIGHTS if args.copy_heavy or
+                   args.curriculum == "short" else FAMILY_WEIGHTS)
     common = dict(steps=args.steps, batch_size=args.batch_size,
                   learning_rate=args.lr, seed=args.seed,
                   pool_size=args.pool_size, family_weights=weights,
@@ -108,6 +118,7 @@ def main(argv=None) -> int:
     (Path(args.out) / "metrics.json").write_text(json.dumps({
         "heldout": metrics, "steps": args.steps,
         "curriculum": args.curriculum,
+        "family_weights": list(weights),
         "pool_size": args.pool_size, "seed": args.seed, **extra},
         indent=2))
     logger.info("saved %s", args.out)

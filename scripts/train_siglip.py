@@ -48,12 +48,16 @@ def main(argv=None) -> int:
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval-crops", type=int, default=160)
+    parser.add_argument("--composed-frac", type=float, default=0.5,
+                        help="fraction of compositional noun×template "
+                        "captions (0 = round-2 fixed pools)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
 
     cfg = SigLIPTrainConfig(steps=args.steps, batch_size=args.batch_size,
-                            learning_rate=args.lr, seed=args.seed)
+                            learning_rate=args.lr, seed=args.seed,
+                            composed_frac=args.composed_frac)
     t0 = time.time()
     variables = train_minisiglip(cfg)
     logger.info("trained in %.1f s", time.time() - t0)
@@ -72,7 +76,8 @@ def main(argv=None) -> int:
                     metrics=metrics)
     (Path(args.out) / "metrics.json").write_text(json.dumps({
         "zero_shot": metrics, "steps": args.steps,
-        "seed": args.seed}, indent=2))
+        "seed": args.seed, "composed_frac": args.composed_frac},
+        indent=2))
     logger.info("saved %s", args.out)
     return 0
 

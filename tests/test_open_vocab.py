@@ -98,6 +98,35 @@ class TestOpenVocabBackend:
         backend(frames, ["boss"], [0])
         assert len(backend._text_cache) == 1
 
+    def test_prompt_ensemble_embeddings(self, backend):
+        """Templated ensemble: normalized mean of per-template embeddings."""
+        backend._text_cache.clear()
+        base = backend._concept_embeddings(["enemy", "boss"])
+        assert base.shape[0] == 2
+        np.testing.assert_allclose(
+            np.linalg.norm(base, axis=-1), 1.0, atol=1e-5)
+
+        backend.prompt_templates = ("{}", "sprite of {}")
+        backend._text_cache.clear()
+        try:
+            ens = backend._concept_embeddings(["enemy", "boss"])
+            assert ens.shape == base.shape
+            np.testing.assert_allclose(
+                np.linalg.norm(ens, axis=-1), 1.0, atol=1e-5)
+            # ensemble must actually mix the templated variants
+            assert not np.allclose(ens, base, atol=1e-4)
+            # and equal the normalized mean of the per-template embeddings
+            backend.prompt_templates = None
+            backend._text_cache.clear()
+            sprite = backend._concept_embeddings(
+                ["sprite of enemy", "sprite of boss"])
+            manual = (base + sprite) / 2.0
+            manual /= np.linalg.norm(manual, axis=-1, keepdims=True)
+            np.testing.assert_allclose(ens, manual, atol=1e-5)
+        finally:
+            backend.prompt_templates = None
+            backend._text_cache.clear()
+
     def test_trained_composite_and_ladder(self, tmp_path):
         """Offline rung: trained-segmenter proposals + mini-SigLIP naming."""
         from gvl_tpu.models.sam import (

@@ -59,6 +59,44 @@ def test_make_pairs_shapes_and_classes():
     assert (cls2 >= 4).any()
 
 
+def test_compose_caption_space():
+    from gvl_tpu.training.siglip_train import (
+        HEAD_NOUNS,
+        UNSEEN_PROMPTS,
+        compose_caption,
+    )
+
+    rng = np.random.default_rng(3)
+    seen: set[str] = set()
+    for _ in range(300):
+        for concept in CLASSES:
+            cap = compose_caption(concept, rng)
+            assert len(cap.encode("utf-8")) <= 32
+            seen.add(cap)
+    # compositional space is much larger than the fixed pools
+    assert len(seen) > 100
+    # the paraphrase probe stays a true holdout: its content words
+    # never appear in any training caption
+    for probe in UNSEEN_PROMPTS.values():
+        head = probe.split()[-1]          # protagonist/villain/foe/power-up
+        for cap in seen:
+            assert head not in cap, (probe, cap)
+    for nouns in HEAD_NOUNS.values():
+        for noun in nouns:
+            for probe in UNSEEN_PROMPTS.values():
+                assert probe.split()[-1] not in noun
+
+
+def test_make_pairs_composed_frac():
+    from gvl_tpu.training.siglip_train import CAPTIONS
+
+    rng = np.random.default_rng(5)
+    _, caps, cls = make_pairs(rng, 60, canvas=64, composed_frac=1.0)
+    pool_hits = sum(c in CAPTIONS[CLASSES[ci]] for c, ci in zip(caps, cls))
+    # fully composed: most captions come from outside the fixed pools
+    assert pool_hits < len(caps) * 0.5
+
+
 def test_make_pairs_canonical_mode():
     rng = np.random.default_rng(1)
     _, caps, cls = make_pairs(rng, 12, canvas=64, canonical_captions=True)
