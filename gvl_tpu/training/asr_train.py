@@ -647,8 +647,13 @@ class TrainedByteASR:
                 np.arange(len(wav)), wav).astype(np.float32)
         if not len(wav) or float(np.sqrt((wav ** 2).mean())) < 1e-4:
             return "", 0.0
+        # silent windows (e.g. a short utterance zero-padded into a 30 s
+        # processor chunk) decode to garbage — the model never saw pure
+        # digital silence; gate each window on the same RMS threshold
         pieces = [
-            self._transcribe_window(wav[s:s + self._window])
-            for s in range(0, len(wav), self._window)
+            self._transcribe_window(w)
+            for w in (wav[s:s + self._window]
+                      for s in range(0, len(wav), self._window))
+            if float(np.sqrt((w ** 2).mean())) >= 1e-4
         ]
         return " ".join(p for p in pieces if p).strip(), 0.85

@@ -262,13 +262,35 @@ def _generate_base_sample(rng: np.random.Generator,
         family = ("binary" if r < 0.25 else "mcq" if r < 0.5
                   else "timestamp" if r < 0.7
                   else "ocr" if r < 0.9 and facts["ocr"] else "audio")
-    if family == "ocr" and not facts["ocr"]:
-        t = int(rng.integers(1, 580))
-        word = str(rng.choice(HUD_WORDS))
-        text = f"{word} {rng.integers(0, 9999)}"
-        lines.append(f'[{_mmss(t)}] (Text: "{text}")')
+    if family == "ocr":
+        # ≥3 OCR lines per sample: wrong-line selection is the measured
+        # failure mode (see the audio block below)
+        used = {t for t, _ in facts["ocr"]}
+        while len(facts["ocr"]) < 3:
+            t = int(rng.integers(1, 580))
+            if t in used:
+                continue
+            used.add(t)
+            word = str(rng.choice(HUD_WORDS))
+            text = f"{word} {rng.integers(0, 9999)}"
+            lines.append(f'[{_mmss(t)}] (Text: "{text}")')
+            facts["ocr"].append((t, text))
         lines.sort()
-        facts["ocr"].append((t, text))
+    if family == "audio":
+        # the measured failure mode is WRONG-LINE selection (the model
+        # answers with another audio line's event), so every audio
+        # sample must contain distractor audio lines — timestamp-keyed
+        # lookup, not "find the only audio line", is the trained skill
+        used = {t for t, _ in facts["audio"]}
+        while len(facts["audio"]) < 3:
+            t = int(rng.integers(1, 580))
+            if t in used:
+                continue
+            used.add(t)
+            ev = str(rng.choice(AUDIO_EVENTS))
+            lines.append(f"[{_mmss(t)}] (Audio: {ev})")
+            facts["audio"].append((t, ev))
+        lines.sort()
 
     if family == "binary":  # binary presence
         if rng.random() < 0.5:

@@ -238,3 +238,30 @@ class TestCheckpointAndServing:
         wav = synth_speech(rng, "boss", total_seconds=1.6)
         segments = proc.transcribe(wav, 16000)
         assert isinstance(segments, list)
+
+
+@pytest.mark.skipif(
+    not is_trained_asr_checkpoint("outputs/asr"),
+    reason="shipped ASR artifact not present")
+class TestShippedArtifact:
+    """Capability gate on the SHIPPED checkpoint: the preset ladder must
+    produce a processor that actually transcribes synthesized speech."""
+
+    def test_preset_stack_transcribes_speech(self):
+        from gvl_tpu.audio.processor import build_audio_stack
+        from gvl_tpu.config.presets import load_preset
+
+        preset = load_preset("light")
+        proc, _ = build_audio_stack(preset.audio)
+        assert isinstance(proc.asr, TrainedByteASR)
+
+        rng = np.random.default_rng(123)
+        total_cer = 0.0
+        texts = [sample_utterance(rng) for _ in range(4)]
+        for text in texts:
+            wav = synth_speech(rng, text, total_seconds=6.0,
+                               profile=SpeakerProfile.sample(rng))
+            segs = proc.transcribe(wav, 16000)
+            got = " ".join(s.text for s in segs)
+            total_cer += character_error_rate(text, got)
+        assert total_cer / len(texts) < 0.15, texts
