@@ -163,9 +163,25 @@ class TestAudioLadder:
         )
 
         config = load_preset("light")
+        config.audio.asr_checkpoint = None   # below the trained rung
         proc, embedder = build_audio_stack(config.audio)
         assert isinstance(embedder, HashAudioEmbedder)
         assert isinstance(proc.asr, DeterministicFakeASR)
+
+    def test_default_preset_picks_shipped_asr(self):
+        import pytest
+
+        from gvl_tpu.audio import build_audio_stack
+        from gvl_tpu.training.asr_train import (
+            TrainedByteASR,
+            is_trained_asr_checkpoint,
+        )
+
+        if not is_trained_asr_checkpoint("outputs/asr"):
+            pytest.skip("shipped ASR artifact not present")
+        config = load_preset("light")
+        proc, _ = build_audio_stack(config.audio)
+        assert isinstance(proc.asr, TrainedByteASR)
 
     def test_wav2vec2_checkpoint_loads_jax_embedder(
         self, tiny_wav2vec2_dir
