@@ -106,9 +106,10 @@ class PerceptionConfig:
     use_videomae: bool = True
     videomae_model: str = "MCG-NJU/videomae-base"
     videomae_dtype: str = "bfloat16"
-    # local HF VideoMAE directory — same auto-ladder as sam_checkpoint:
-    # JAX tower when it resolves, deterministic hash fake otherwise
-    videomae_checkpoint: Optional[str] = None
+    # local HF VideoMAE directory OR a scripts/train_videomae.py
+    # checkpoint — same auto-ladder as sam_checkpoint/asr_checkpoint:
+    # HF JAX tower > self-trained mini tower > deterministic hash fake
+    videomae_checkpoint: Optional[str] = "outputs/videomae"
 
     # OCR
     use_ocr: bool = True

@@ -101,12 +101,23 @@ class JaxVideoMAEClipEncoder:
 
 def build_clip_encoder(config):
     """Preset ladder: JAX VideoMAE when ``videomae_checkpoint`` resolves
-    (local HF directory), deterministic hash fake otherwise."""
+    to a local HF directory; the SELF-TRAINED mini tower when it is a
+    ``scripts/train_videomae.py`` checkpoint (the default,
+    ``outputs/videomae``); deterministic hash fake otherwise."""
     from gvl_tpu.utils.checkpoints import resolve_repo_path
 
     p = config.perception
     ckpt = resolve_repo_path(getattr(p, "videomae_checkpoint", None))
     if ckpt:
+        from gvl_tpu.training.videomae_train import (
+            TrainedClipEncoder,
+            is_trained_clip_checkpoint,
+        )
+
+        if is_trained_clip_checkpoint(ckpt):
+            logger.info("VideoMAE clip encoder: self-trained tower "
+                        "from %s", ckpt)
+            return TrainedClipEncoder.from_dir(ckpt)
         from gvl_tpu.models.videomae import load_hf_videomae
 
         encoder, variables = load_hf_videomae(ckpt)
@@ -120,10 +131,19 @@ def extract_clip_embeddings(
     encoder,
     clip_len: int = 16,
     stride: int = 8,
+    timeline=None,
+    min_confidence: float = 0.6,
 ) -> list[tuple[float, np.ndarray]]:
     """Reference clip schedule (16-frame windows, stride 8,
     `/root/reference/scripts/realtime_inference.py:339-381`) through ONE
-    batched device call."""
+    batched device call.
+
+    When the encoder exposes trained heads (``classify_clips``, the
+    self-trained rung) and ``timeline`` is given, confident motion
+    predictions are emitted as TEMPORAL text events — "player moving
+    right" becomes retrievable context, a capability the reference's
+    embedding-only VideoMAE path never had.
+    """
     arr = [f for _, f in frames]
     times = [t for t, _ in frames]
     starts, clips = [], []
@@ -136,4 +156,23 @@ def extract_clip_embeddings(
     if not clips:
         return []
     embeddings = encoder.encode_clips(clips)
+    if timeline is not None and hasattr(encoder, "classify_clips"):
+        from gvl_tpu.fusion.timeline import EventPriority, ModalityType
+        from gvl_tpu.training.videomae_train import DIRECTION_PHRASES
+
+        for ts, labels in zip(starts, encoder.classify_clips(clips)):
+            d_name, d_p = labels["direction"]
+            k_name, k_p = labels["kind"]
+            e_name, e_p = labels["event"]
+            conf = min(d_p, k_p)
+            if conf < min_confidence or d_name == "static":
+                continue
+            desc = f"{k_name} {DIRECTION_PHRASES[d_name]}"
+            if e_name != "none" and e_p >= min_confidence:
+                desc += f" ({e_name} mid-clip)"
+            timeline.add_event(
+                timestamp=float(ts), modality=ModalityType.TEMPORAL,
+                description=desc, priority=EventPriority.MEDIUM,
+                confidence=float(conf),
+                metadata={"source": "clip_encoder"})
     return list(zip(starts, embeddings))

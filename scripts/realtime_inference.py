@@ -126,16 +126,18 @@ def extract_siglip_embeddings(frames, segmenter, config: SystemConfig):
     return out
 
 
-def extract_videomae_embeddings(frames, config: SystemConfig):
+def extract_videomae_embeddings(frames, config: SystemConfig,
+                                timeline=None):
     """16-frame clips, stride 8 → clip embeddings through the preset
-    ladder: JAX VideoMAE when ``perception.videomae_checkpoint``
-    resolves, deterministic hash fake otherwise."""
+    ladder: local HF VideoMAE dir > self-trained mini tower (which also
+    emits textual motion events into ``timeline``) > hash fake."""
     from gvl_tpu.temporal.clip_encoder import (
         build_clip_encoder,
         extract_clip_embeddings,
     )
 
-    return extract_clip_embeddings(frames, build_clip_encoder(config))
+    return extract_clip_embeddings(frames, build_clip_encoder(config),
+                                   timeline=timeline)
 
 
 def run_audio_analysis(video_path: str, timeline, config: SystemConfig):
@@ -338,7 +340,7 @@ def process_video(
         if config.perception.use_videomae:
             with timer.stage("videomae_embeddings"):
                 result.videomae_embeddings = extract_videomae_embeddings(
-                    frames, config)
+                    frames, config, timeline=timeline)
 
         if config.audio.use_audio:
             with timer.stage("audio_analysis"):
@@ -379,6 +381,20 @@ def process_video(
             reasoning_config.siglip_dim = _json.loads(
                 (Path(_sig_ckpt) / "minisiglip_config.json").read_text()
             )["vision"]["hidden_size"]
+    # same rule for the self-trained temporal tower (mini width ≠ 768)
+    _vmae_ckpt = _rrp(getattr(config.perception, "videomae_checkpoint",
+                              None))
+    if _vmae_ckpt:
+        from gvl_tpu.training.videomae_train import (
+            is_trained_clip_checkpoint,
+        )
+
+        if is_trained_clip_checkpoint(_vmae_ckpt):
+            import json as _json
+
+            reasoning_config.videomae_dim = _json.loads(
+                (Path(_vmae_ckpt) / "videomae_config.json").read_text()
+            )["model"]["hidden_size"]
     with timer.stage("loop_init"):
         from gvl_tpu.utils.checkpoints import resolve_repo_path
 

@@ -102,11 +102,24 @@ class TestVideoMAELadder:
         )
 
         config = load_preset("light")
-        assert config.perception.videomae_checkpoint is None
+        config.perception.videomae_checkpoint = None  # below trained rung
         enc = build_clip_encoder(config)
         assert isinstance(enc, HashClipEncoder)
         emb = enc.encode_clip(np.zeros((4, 32, 32, 3), np.uint8))
         assert emb.shape == (768,)
+
+    def test_default_preset_picks_shipped_tower(self):
+        from gvl_tpu.temporal.clip_encoder import build_clip_encoder
+        from gvl_tpu.training.videomae_train import (
+            TrainedClipEncoder,
+            is_trained_clip_checkpoint,
+        )
+
+        if not is_trained_clip_checkpoint("outputs/videomae"):
+            pytest.skip("shipped clip-encoder artifact not present")
+        config = load_preset("light")
+        enc = build_clip_encoder(config)
+        assert isinstance(enc, TrainedClipEncoder)
 
     def test_checkpoint_loads_jax_tower(self, tiny_videomae_dir):
         from gvl_tpu.temporal.clip_encoder import (
