@@ -68,7 +68,10 @@ class ReasoningCoreConfig:
     # retrieval
     retrieval_window_sec: float = 30.0
     semantic_top_k: int = 10
-    embedding_model: str = "hashing"  # "hashing" (offline) or a model name
+    # "auto" → self-trained paraphrase tower (outputs/retriever) when
+    # shipped, hashing otherwise; "hashing" forces the lexical embedder;
+    # a directory path loads a trained tower or the JAX MiniLM port
+    embedding_model: str = "auto"
     embedding_dim: int = 256
 
     # dynamic-resolution pixel bounds

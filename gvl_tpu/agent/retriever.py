@@ -60,28 +60,45 @@ class HashingTextEmbedder:
 def make_embedder(config: ReasoningCoreConfig) -> Optional[TextEmbedder]:
     """Resolve the configured embedding model to an embedder instance.
 
-    Ladder: "hashing" sentinel → hashing embedder; a local checkpoint
-    directory → the native JAX MiniLM encoder (the TPU port of the
-    reference's all-MiniLM-L6-v2 retriever); otherwise try
-    sentence-transformers; fall back to hashing."""
+    Ladder: "auto" → the self-trained paraphrase embedder when
+    ``outputs/retriever`` is shipped, hashing otherwise; "hashing"
+    sentinel → hashing embedder; a local checkpoint directory → the
+    self-trained tower (``retriever_config.json``) or the native JAX
+    MiniLM encoder (the TPU port of the reference's all-MiniLM-L6-v2
+    retriever); otherwise try sentence-transformers; fall back to
+    hashing."""
     import os
 
-    if config.embedding_model == "hashing":
+    name = config.embedding_model
+    if name == "auto":
+        from gvl_tpu.utils.checkpoints import resolve_repo_path
+
+        trained = resolve_repo_path("outputs/retriever")
+        name = trained if trained else "hashing"
+    if name == "hashing":
         return HashingTextEmbedder(config.embedding_dim)
-    if os.path.isdir(config.embedding_model):
+    if os.path.isdir(name):
+        from gvl_tpu.training.retriever_train import (
+            TrainedTextEmbedder,
+            is_trained_retriever_checkpoint,
+        )
+
+        if is_trained_retriever_checkpoint(name):
+            logger.info("semantic retriever: self-trained tower from %s",
+                        name)
+            return TrainedTextEmbedder.from_dir(name)
         try:
             from gvl_tpu.models.minilm import MiniLMSentenceEncoder
 
-            return MiniLMSentenceEncoder.from_hf_checkpoint(
-                config.embedding_model)
+            return MiniLMSentenceEncoder.from_hf_checkpoint(name)
         except Exception as exc:
             logger.warning(
                 "JAX MiniLM load from %r failed (%s); trying "
-                "sentence-transformers", config.embedding_model, exc)
+                "sentence-transformers", name, exc)
     try:  # optional learned embedder (requires local weights)
         from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(config.embedding_model)
+        model = SentenceTransformer(name)
 
         class _ST:
             def encode(self, texts):
