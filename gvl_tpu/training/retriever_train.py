@@ -106,6 +106,20 @@ _ATTACK_TEMPLATES = (
     "who attacks the {b}", "what happened to the {b}",
     "why did the {b} get destroyed", "when is the {b} hit",
 )
+_COPY_TEMPLATES = (
+    "find the event about {w}", "when does {w} happen",
+    "tell me about {w}", "what is {w}", "show the {w} line",
+)
+
+_SYLLABLES = ("ba", "be", "bo", "da", "de", "do", "ka", "ke", "ko",
+              "la", "le", "lo", "ma", "me", "mo", "na", "ne", "no",
+              "ra", "re", "ro", "sa", "se", "so", "ta", "te", "to",
+              "va", "ve", "vo", "za", "ze", "zo", "chi", "sha", "ga")
+
+
+def _random_word(rng: np.random.Generator) -> str:
+    n = int(rng.integers(2, 5))
+    return "".join(str(rng.choice(_SYLLABLES)) for _ in range(n))
 
 
 def _syn(rng: np.random.Generator, word: str, table: dict,
@@ -122,8 +136,12 @@ def make_pair(rng: np.random.Generator,
     """One (query, event-description, uniqueness-key) pair.
 
     The key dedupes confusable targets within a batch so in-batch
-    InfoNCE negatives are true negatives."""
-    fam = int(rng.integers(0, 6))
+    InfoNCE negatives are true negatives.  Family 6 ("copy") pairs
+    never-repeating random words with queries quoting them verbatim —
+    it teaches GENERIC byte-level lexical matching, so the trained
+    tower keeps hashing's ability to rank unseen words by overlap
+    instead of trading it for the synonym skill."""
+    fam = int(rng.integers(0, 7))
     para = bool(rng.random() < paraphrase_prob)
     ents = list(ENTITY_SYNONYMS)
     if fam == 0:  # detection
@@ -155,11 +173,19 @@ def make_pair(rng: np.random.Generator,
         frag = " ".join(s.split()[-2:])  # quote the tail fragment
         q = str(rng.choice(_SPEECH_TEMPLATES)).format(s=frag)
         return q, s, f"sp:{s}"
-    # attack / causal
-    a, b = rng.choice(ents, 2, replace=False)
-    q = str(rng.choice(_ATTACK_TEMPLATES)).format(
-        b=_syn(rng, str(b), ENTITY_SYNONYMS, para))
-    return q, f"(Event: {a} attacks {b})", f"atk:{b}"
+    if fam == 5:  # attack / causal
+        a, b = rng.choice(ents, 2, replace=False)
+        q = str(rng.choice(_ATTACK_TEMPLATES)).format(
+            b=_syn(rng, str(b), ENTITY_SYNONYMS, para))
+        return q, f"(Event: {a} attacks {b})", f"atk:{b}"
+    # copy: verbatim lexical matching on never-repeating random words
+    words = [_random_word(rng) for _ in range(int(rng.integers(2, 5)))]
+    desc = " ".join(words)
+    pick = rng.choice(words, size=min(len(words),
+                                      int(rng.integers(1, 3))),
+                      replace=False)
+    q = str(rng.choice(_COPY_TEMPLATES)).format(w=" ".join(pick))
+    return q, desc, f"cp:{desc}"
 
 
 def make_batch(rng: np.random.Generator, n: int,
@@ -279,12 +305,17 @@ def _eval_timeline(rng: np.random.Generator,
         if key in keys:
             continue
         keys.add(key)
-        # a lexical twin of the same target
-        rng2 = np.random.default_rng(int(rng.integers(0, 2 ** 31)))
-        while True:
-            q_lex, d2, key2 = make_pair(rng2, paraphrase_prob=0.0)
-            if key2 == key:
-                break
+        if key.startswith(("cp:", "sp:")):
+            # copy/speech queries quote the description verbatim —
+            # paraphrase and lexical regimes coincide
+            q_lex = q_par
+        else:
+            # a lexical twin of the same target key
+            rng2 = np.random.default_rng(int(rng.integers(0, 2 ** 31)))
+            while True:
+                q_lex, _d2, key2 = make_pair(rng2, paraphrase_prob=0.0)
+                if key2 == key:
+                    break
         descs.append(d)
         pairs.append((q_par, q_lex))
     t = int(rng.integers(0, n_events))

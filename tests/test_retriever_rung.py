@@ -39,11 +39,11 @@ class TestPairGenerator:
     def test_pairs_are_strings(self):
         rng = np.random.default_rng(0)
         fams = set()
-        for _ in range(60):
+        for _ in range(80):
             q, d, key = make_pair(rng)
             assert q and d and ":" in key
             fams.add(key.split(":")[0])
-        assert fams == {"det", "mot", "ocr", "aud", "sp", "atk"}
+        assert fams == {"det", "mot", "ocr", "aud", "sp", "atk", "cp"}
 
     def test_batch_keys_unique(self):
         rng = np.random.default_rng(1)
