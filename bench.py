@@ -315,6 +315,54 @@ def bench_open_vocab(n_scenes: int = 8) -> dict:
             "open_vocab_paraphrase_label_acc": round(p["label_acc"], 3)}
 
 
+def bench_retriever(n_timelines: int = 24) -> dict:
+    """Paraphrase vs lexical retrieval top-1 of the shipped self-trained
+    embedder (outputs/retriever) next to the hashing baseline on the
+    SAME held-out timelines."""
+    from pathlib import Path
+
+    if not Path("outputs/retriever/retriever_config.json").exists():
+        return {}
+    from gvl_tpu.agent.retriever import HashingTextEmbedder
+    from gvl_tpu.training.retriever_train import (
+        TrainedTextEmbedder,
+        evaluate_retriever,
+    )
+
+    m = evaluate_retriever(TrainedTextEmbedder.from_dir(
+        "outputs/retriever"), n_timelines=n_timelines)
+    h = evaluate_retriever(HashingTextEmbedder(256),
+                           n_timelines=n_timelines)
+    return {"retriever_paraphrase_top1": round(m["paraphrase_top1"], 3),
+            "retriever_lexical_top1": round(m["lexical_top1"], 3),
+            "retriever_hashing_paraphrase_top1":
+                round(h["paraphrase_top1"], 3)}
+
+
+def bench_clip_encoder(n_clips: int = 48) -> dict:
+    """Motion/kind/event accuracy of the shipped self-trained temporal
+    clip encoder (outputs/videomae) on held-out clips + the
+    frame-shuffled temporal control."""
+    from pathlib import Path
+
+    if not Path("outputs/videomae/videomae_config.json").exists():
+        return {}
+    from gvl_tpu.training.videomae_train import (
+        evaluate_clip_encoder,
+        load_clip_encoder,
+    )
+
+    cfg, params = load_clip_encoder("outputs/videomae")
+    m = evaluate_clip_encoder(params, cfg, n_clips=n_clips, style="base")
+    ctrl = evaluate_clip_encoder(params, cfg, n_clips=n_clips,
+                                 style="base", shuffle_frames=True)
+    return {"clip_direction_acc": round(m["direction_acc"], 3),
+            "clip_kind_acc": round(m["kind_acc"], 3),
+            "clip_event_acc": round(m["event_acc"], 3),
+            "clip_shuffled_direction_acc":
+                round(ctrl["direction_acc_moving"], 3)}
+
+
 def main() -> None:
     from gvl_tpu.utils.jax_setup import setup_jax
 
@@ -330,6 +378,8 @@ def main() -> None:
         extra.update(bench_qa_lm())
         extra.update(bench_open_vocab())
         extra.update(bench_asr())
+        extra.update(bench_retriever())
+        extra.update(bench_clip_encoder())
 
     print(json.dumps({
         "metric": "siglip_so400m_images_per_sec_per_chip",
