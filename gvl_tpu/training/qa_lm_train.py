@@ -248,6 +248,58 @@ def generate_qa_sample(rng: np.random.Generator,
     return sample
 
 
+_LOOKUP_SYLLABLES = ("ba", "be", "bo", "da", "de", "do", "ka", "ke",
+                     "ko", "la", "le", "lo", "ma", "me", "mo", "na",
+                     "ne", "no", "ra", "re", "ro", "sa", "se", "so",
+                     "ta", "te", "to", "va", "ve", "vo", "za", "zo")
+
+
+def generate_lookup_sample(rng: np.random.Generator,
+                           serving_sections: bool = True,
+                           n_events_range: tuple[int, int] = (6, 14),
+                           short_system: bool = False,
+                           ) -> QASample:
+    """Lookup-pretraining sample: surface-identical to the audio/ocr
+    families, but every value is a never-repeating pseudo-word.
+
+    The measured failure mode of the timestamp-keyed families is a
+    PRIOR shortcut: with only 5 audio events (6 HUD words) the model
+    answers from the marginal distribution and the exact-digit-match
+    circuit never forms (its gradient is tiny once the prior soaks up
+    most of the loss).  High-entropy values make lookup the ONLY way
+    down the loss — the induction-head forcing trick — while the
+    identical line/question phrasing makes the circuit transfer to the
+    real families."""
+    n_events = int(rng.integers(*n_events_range))
+    n_events = max(n_events, 4)
+    times = np.sort(rng.choice(np.arange(1, 580), n_events,
+                               replace=False))
+    as_text = bool(rng.random() < 0.5)
+    lines, values = [], []
+    for t in times:
+        t = int(t)
+        word = "".join(str(rng.choice(_LOOKUP_SYLLABLES))
+                       for _ in range(int(rng.integers(2, 5))))
+        if as_text:
+            lines.append(f'[{_mmss(t)}] (Text: "{word}")')
+        else:
+            lines.append(f"[{_mmss(t)}] (Audio: {word})")
+        values.append((t, word))
+    t, word = values[int(rng.integers(0, len(values)))]
+    if as_text:
+        question = f"What does the on-screen text show at [{_mmss(t)}]?"
+        answer = f'**Answer:** "{word}"'
+    else:
+        question = f"What audio event occurs at [{_mmss(t)}]?"
+        answer = f"**Answer:** {word}"
+    system = (_default_system() if not short_system
+              and rng.random() < 0.7 else str(rng.choice(_SHORT_SYSTEMS)))
+    sample = QASample(system, lines, question, answer, word, "lookup")
+    if serving_sections:
+        _add_serving_sections(sample, rng)
+    return sample
+
+
 def _generate_base_sample(rng: np.random.Generator,
                           family: Optional[str] = None,
                           n_events_range: tuple[int, int] = (6, 14),
@@ -497,6 +549,10 @@ class QATrainConfig:
     # a full-distribution phase: anchors the phase-A copy skill while
     # the model learns to apply it at serving length
     short_mix: float = 0.0
+    # per-sample probability of a lookup-pretraining sample (high-
+    # entropy values behind the audio/ocr surface — forces the
+    # timestamp-keyed exact-match circuit; see generate_lookup_sample)
+    lookup_frac: float = 0.0
     model: Qwen3Config = field(default_factory=qa_lm_config)
 
 
@@ -516,11 +572,15 @@ def _render_batch(rng: np.random.Generator, cfg: QATrainConfig,
                       p=np.asarray(cfg.family_weights))
     for i in range(cfg.batch_size):
         short = cfg.short_mix > 0 and rng.random() < cfg.short_mix
-        sample = generate_qa_sample(
-            rng, family=FAMILIES[int(fams[i])],
+        kwargs = dict(
             serving_sections=not short and cfg.serving_sections,
             n_events_range=(2, 6) if short else cfg.n_events_range,
             short_system=short or cfg.short_system)
+        if cfg.lookup_frac and rng.random() < cfg.lookup_frac:
+            sample = generate_lookup_sample(rng, **kwargs)
+        else:
+            sample = generate_qa_sample(
+                rng, family=FAMILIES[int(fams[i])], **kwargs)
         tokens[i], mask[i], _ = encode_sample(sample, tokenizer, cfg.max_len)
     return tokens, mask
 

@@ -58,6 +58,11 @@ def main(argv=None) -> int:
                              "(binary, mcq, timestamp, ocr, audio, causal)"
                              " — overrides --copy-heavy; use for polish "
                              "phases targeting weak families")
+    parser.add_argument("--lookup-frac", type=float, default=0.0,
+                        help="per-sample probability of a lookup-"
+                             "pretraining sample (random-word values "
+                             "behind the audio/ocr surface; forces the "
+                             "timestamp-keyed match circuit)")
     parser.add_argument("--short-mix", type=float, default=0.0,
                         help="per-sample probability of the short profile "
                              "inside a full phase (anchors the copy skill)")
@@ -87,7 +92,8 @@ def main(argv=None) -> int:
     common = dict(steps=args.steps, batch_size=args.batch_size,
                   learning_rate=args.lr, seed=args.seed,
                   pool_size=args.pool_size, family_weights=weights,
-                  short_mix=args.short_mix)
+                  short_mix=args.short_mix,
+                  lookup_frac=args.lookup_frac)
     cfg = (short_curriculum_config(**common)
            if args.curriculum == "short" else QATrainConfig(**common))
     init_params = None
