@@ -98,6 +98,9 @@ class PerceptionConfig:
     siglip_model: str = "google/siglip2-so400m-patch14-384"
     siglip_batch_size: int = 16
     siglip_dtype: str = "bfloat16"
+    # W8A8 tower blocks on the int8 MXU (~1.5-2x throughput on v5e;
+    # pooled-embedding cosine vs bf16 ≈ 0.9999)
+    siglip_int8: bool = False
     # same ladder as sam_backend; checkpoint is an HF-layout directory
     siglip_backend: str = "auto"
     siglip_checkpoint: Optional[str] = None

@@ -41,6 +41,10 @@ class SigLIPVisionConfig:
     patch_size: int = 14
     image_size: int = 384
     layer_norm_eps: float = 1e-6
+    # W8A8 encoder blocks on the int8 MXU path (~2x bf16 FLOP rate on
+    # v5e); patch embed / MAP head stay bf16.  Build params with
+    # quantize_siglip_int8.
+    quant_int8: bool = False
 
     @property
     def patches_per_side(self) -> int:
@@ -158,6 +162,7 @@ class SigLIPVisionTower(nn.Module):
                 norm="layernorm",
                 mlp="gelu",
                 norm_eps=cfg.layer_norm_eps,
+                quant=cfg.quant_int8,
                 name=f"layers_{i}",
             )(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="post_norm")(x)
@@ -166,6 +171,23 @@ class SigLIPVisionTower(nn.Module):
         if pool:
             out["pooled"] = MAPHead(cfg, name="head")(x)
         return out
+
+
+def quantize_siglip_int8(params: dict) -> dict:
+    """bf16/f32 vision-tower params → W8A8 params for a tower built with
+    ``SigLIPVisionConfig(quant_int8=True)``.
+
+    Only the encoder blocks (``layers_*``) are quantized — patch embed
+    and the MAP head stay bf16 (negligible FLOPs, and the head feeds
+    the contrastive space where full precision is cheapest insurance).
+    """
+    from gvl_tpu.nn.quant import quantize_kernels_int8
+
+    out = dict(params)
+    for k in list(out):
+        if k.startswith("layers_"):
+            out[k] = quantize_kernels_int8(out[k])
+    return out
 
 
 # --------------------------------------------------------------------------

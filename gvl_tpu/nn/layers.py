@@ -60,6 +60,7 @@ class Attention(nn.Module):
     rope: bool = False
     rope_base: float = 10000.0
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False                  # W8A8 projections (int8 MXU)
 
     @nn.compact
     def __call__(
@@ -78,9 +79,15 @@ class Attention(nn.Module):
         d_head = self.head_dim or dim // n_q
         d_out = self.out_dim or dim
 
-        dense = lambda feats, name: nn.DenseGeneral(
-            feats, use_bias=self.use_bias, dtype=self.dtype, name=name
-        )
+        if self.quant:
+            from gvl_tpu.nn.quant import W8A8Dense
+
+            dense = lambda feats, name: W8A8Dense(
+                feats, use_bias=self.use_bias, name=name)
+        else:
+            dense = lambda feats, name: nn.DenseGeneral(
+                feats, use_bias=self.use_bias, dtype=self.dtype, name=name
+            )
         q = dense(n_q * d_head, "q_proj")(x)
         k = dense(n_kv * d_head, "k_proj")(kv_in)
         v = dense(n_kv * d_head, "v_proj")(kv_in)
@@ -125,15 +132,23 @@ class MlpGelu(nn.Module):
     use_bias: bool = True
     act: Callable = nn.gelu
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.quant:
+            from gvl_tpu.nn.quant import W8A8Dense
+
+            dense = lambda feats, name: W8A8Dense(
+                feats, use_bias=self.use_bias, name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, use_bias=self.use_bias, dtype=self.dtype,
+                name=name)
         dim = x.shape[-1]
-        h = nn.Dense(self.intermediate_dim, use_bias=self.use_bias,
-                     dtype=self.dtype, name="fc1")(x)
+        h = dense(self.intermediate_dim, "fc1")(x)
         h = self.act(h)
-        return nn.Dense(dim, use_bias=self.use_bias, dtype=self.dtype,
-                        name="fc2")(h)
+        return dense(dim, "fc2")(h)
 
 
 class MlpSwiGLU(nn.Module):
@@ -171,6 +186,7 @@ class TransformerBlock(nn.Module):
     use_bias: bool = True
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -191,6 +207,7 @@ class TransformerBlock(nn.Module):
             rope_base=self.rope_base,
             qk_norm=self.qk_norm,
             dtype=self.dtype,
+            quant=self.quant,
             name="attention",
         )(attn_in, positions=positions, kv_len=kv_len)
 
@@ -200,7 +217,8 @@ class TransformerBlock(nn.Module):
                                 dtype=self.dtype, name="mlp")
         else:
             mlp_mod = MlpGelu(self.intermediate_dim, use_bias=self.use_bias,
-                              dtype=self.dtype, name="mlp")
+                              dtype=self.dtype, quant=self.quant,
+                              name="mlp")
         return x + mlp_mod(mlp_in)
 
 

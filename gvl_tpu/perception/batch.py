@@ -228,16 +228,23 @@ def build_siglip_encoder(config, mesh=None):
     backend = getattr(p, "siglip_backend", "auto")
     if backend == "fake":     # explicit fake always wins (CPU CI, smoke)
         return SigLIPSemanticEncoder()
+    nf = None
+    if getattr(p, "siglip_int8", False):
+        from gvl_tpu.perception.semantic import NaFlexConfig
+
+        nf = NaFlexConfig(quant_int8=True)
     ckpt = _resolve_checkpoint(getattr(p, "siglip_checkpoint", None))
     if ckpt:
         from gvl_tpu.training.siglip_train import is_minisiglip_checkpoint
 
         if is_minisiglip_checkpoint(ckpt):
             return SigLIPSemanticEncoder.from_trained_checkpoint(
-                ckpt, mesh=mesh)
-        return SigLIPSemanticEncoder.from_hf_checkpoint(ckpt, mesh=mesh)
+                ckpt, config=nf, mesh=mesh)
+        return SigLIPSemanticEncoder.from_hf_checkpoint(
+            ckpt, config=nf, mesh=mesh)
     if backend == "jax":
-        return SigLIPSemanticEncoder.with_random_tower(mesh=mesh)
+        return SigLIPSemanticEncoder.with_random_tower(config=nf,
+                                                       mesh=mesh)
     return SigLIPSemanticEncoder()
 
 
