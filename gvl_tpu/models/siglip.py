@@ -45,6 +45,10 @@ class SigLIPVisionConfig:
     # v5e); patch embed / MAP head stay bf16.  Build params with
     # quantize_siglip_int8.
     quant_int8: bool = False
+    # static calibrated activation scales (vs dynamic per-row): removes
+    # the VPU-bound amax reduction from the hot path; calibrate with
+    # calibrate_siglip_int8
+    quant_static_act: bool = False
 
     @property
     def patches_per_side(self) -> int:
@@ -163,6 +167,7 @@ class SigLIPVisionTower(nn.Module):
                 mlp="gelu",
                 norm_eps=cfg.layer_norm_eps,
                 quant=cfg.quant_int8,
+                quant_static=cfg.quant_static_act,
                 name=f"layers_{i}",
             )(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="post_norm")(x)
@@ -171,6 +176,24 @@ class SigLIPVisionTower(nn.Module):
         if pool:
             out["pooled"] = MAPHead(cfg, name="head")(x)
         return out
+
+
+def calibrate_siglip_int8(config: "SigLIPVisionConfig", qparams: dict,
+                          sample_pixels) -> dict:
+    """Run the DYNAMIC W8A8 tower over calibration pixels, collect each
+    quantized dense's observed activation amax, and bake static
+    ``act_scale`` params — returns params for a tower built with
+    ``quant_static_act=True``."""
+    from dataclasses import replace as _replace
+
+    from gvl_tpu.nn.quant import bake_act_scales
+
+    dyn_tower = SigLIPVisionTower(_replace(config, quant_int8=True,
+                                           quant_static_act=False))
+    _, mutated = dyn_tower.apply(
+        {"params": qparams}, sample_pixels, pool=True,
+        mutable=["calibration"])
+    return bake_act_scales(qparams, mutated["calibration"])
 
 
 def quantize_siglip_int8(params: dict) -> dict:

@@ -61,6 +61,7 @@ class Attention(nn.Module):
     rope_base: float = 10000.0
     dtype: Optional[jnp.dtype] = None
     quant: bool = False                  # W8A8 projections (int8 MXU)
+    quant_static: bool = False           # calibrated static act scales
 
     @nn.compact
     def __call__(
@@ -83,7 +84,8 @@ class Attention(nn.Module):
             from gvl_tpu.nn.quant import W8A8Dense
 
             dense = lambda feats, name: W8A8Dense(
-                feats, use_bias=self.use_bias, name=name)
+                feats, use_bias=self.use_bias,
+                static_act=self.quant_static, name=name)
         else:
             dense = lambda feats, name: nn.DenseGeneral(
                 feats, use_bias=self.use_bias, dtype=self.dtype, name=name
@@ -133,6 +135,7 @@ class MlpGelu(nn.Module):
     act: Callable = nn.gelu
     dtype: Optional[jnp.dtype] = None
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -140,7 +143,8 @@ class MlpGelu(nn.Module):
             from gvl_tpu.nn.quant import W8A8Dense
 
             dense = lambda feats, name: W8A8Dense(
-                feats, use_bias=self.use_bias, name=name)
+                feats, use_bias=self.use_bias,
+                static_act=self.quant_static, name=name)
         else:
             dense = lambda feats, name: nn.Dense(
                 feats, use_bias=self.use_bias, dtype=self.dtype,
@@ -187,6 +191,7 @@ class TransformerBlock(nn.Module):
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(
@@ -208,6 +213,7 @@ class TransformerBlock(nn.Module):
             qk_norm=self.qk_norm,
             dtype=self.dtype,
             quant=self.quant,
+            quant_static=self.quant_static,
             name="attention",
         )(attn_in, positions=positions, kv_len=kv_len)
 
@@ -218,6 +224,7 @@ class TransformerBlock(nn.Module):
         else:
             mlp_mod = MlpGelu(self.intermediate_dim, use_bias=self.use_bias,
                               dtype=self.dtype, quant=self.quant,
+                              quant_static=self.quant_static,
                               name="mlp")
         return x + mlp_mod(mlp_in)
 
