@@ -124,6 +124,15 @@ class MultimodalProjectorDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def modality_dims(self) -> dict[str, int]:
+        """Observed embedding width per modality — the source of truth
+        for projector head input dims (trained towers emit their own
+        widths, e.g. the 256-d shipped clip encoder vs hash-fake 768)."""
+        dims: dict[str, int] = {}
+        for s in self.samples:
+            dims.setdefault(s["modality"], int(s["embedding"].shape[-1]))
+        return dims
+
 
 def text_projection_matrix(llm_dim: int, text_dim: int) -> jnp.ndarray:
     """FIXED seeded random map LLM-space → text-space, shared by the

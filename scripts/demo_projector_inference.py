@@ -55,7 +55,20 @@ def main(argv=None) -> int:
         timeline.add_event(float(ts), ModalityType.VISUAL,
                            f"visual region observation {i}")
 
+    # projector head dims follow the DATA (a trained clip tower emits
+    # its own width, not the hash-fake/reference 768)
+    from gvl_tpu.agent.config import ReasoningCoreConfig
+
+    rc = ReasoningCoreConfig()
+    if len(siglip):
+        rc.siglip_dim = int(siglip.shape[-1])
+    if len(videomae):
+        rc.videomae_dim = int(videomae.shape[-1])
+    if len(audio):
+        rc.audiomae_dim = int(audio.shape[-1])
+
     loop = PerceptionReasoningLoop(
+        config=rc,
         timeline_indexer=timeline,
         projector_weights_path=args.projector_weights,
     )

@@ -64,14 +64,26 @@ def main(argv=None) -> int:
         tokenizer = AutoTokenizer.from_pretrained(args.llm_checkpoint)
         llm = (model, variables, tokenizer.encode)
 
-    trainer = ProjectorTrainer(
-        ProjectorTrainingConfig(
-            epochs=args.epochs, batch_size=args.batch_size,
-            learning_rate=args.lr, output_path=args.output,
-            objective=args.objective,
-        ),
-        llm=llm,
+    # projector head input dims follow the DATA (trained towers emit
+    # their own widths; hash fakes use the reference defaults)
+    from gvl_tpu.agent.config import ReasoningCoreConfig
+    from gvl_tpu.models.projector import MODALITY_DIMS
+
+    train_cfg = ProjectorTrainingConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        learning_rate=args.lr, output_path=args.output,
+        objective=args.objective,
     )
+    rc = ReasoningCoreConfig(llm_hidden_dim=train_cfg.llm_dim)
+    for modality, dim in dataset.modality_dims().items():
+        attr = MODALITY_DIMS.get(modality)
+        if attr and getattr(rc, attr) != dim:
+            logging.getLogger(__name__).info(
+                "projector head '%s': input dim %d from data "
+                "(config default %d)", modality, dim, getattr(rc, attr))
+            setattr(rc, attr, dim)
+
+    trainer = ProjectorTrainer(train_cfg, reasoning_config=rc, llm=llm)
     before = evaluate_retrieval(trainer.bank, dataset)
     print("retrieval before training:", before)
     result = trainer.train(dataset)

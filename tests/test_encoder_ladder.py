@@ -147,6 +147,7 @@ class TestVideoMAELadder:
         import scripts.realtime_inference as ri
 
         config = load_preset("light")
+        config.perception.videomae_checkpoint = None  # pin the fake rung
         frames = _frames(20)
         fake = ri.extract_videomae_embeddings(frames, config)
         config.perception.videomae_checkpoint = tiny_videomae_dir

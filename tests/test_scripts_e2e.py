@@ -69,7 +69,8 @@ class TestScriptsEndToEnd:
                 "siglip_ts", "siglip", "videomae_ts", "videomae",
                 "wav2vec2_ts", "wav2vec2", "hico"}
             assert z["siglip"].shape[1:] == (1152,)
-            assert z["videomae"].shape[1:] == (768,)
+            # 256 = shipped trained clip tower; 768 = hash fake / HF base
+            assert z["videomae"].shape[1:] in ((256,), (768,))
             assert z["wav2vec2"].shape[1:] == (1024,)
             assert z["hico"].shape[1:] == (1408,)
             assert z["siglip_ts"].shape[0] == z["siglip"].shape[0]
