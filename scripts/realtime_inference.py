@@ -395,6 +395,16 @@ def process_video(
             reasoning_config.videomae_dim = _json.loads(
                 (Path(_vmae_ckpt) / "videomae_config.json").read_text()
             )["model"]["hidden_size"]
+    # the data wins over the ladder: a cache hit may carry embeddings
+    # from a different tower than the currently-resolved checkpoints
+    # (e.g. hash-fake 768 cached before the trained 256-d clip tower
+    # shipped) — projector heads must match what will be projected
+    if result.videomae_embeddings:
+        reasoning_config.videomae_dim = int(
+            result.videomae_embeddings[0][1].shape[-1])
+    if result.siglip_embeddings:
+        reasoning_config.siglip_dim = int(
+            result.siglip_embeddings[0][1].shape[-1])
     with timer.stage("loop_init"):
         from gvl_tpu.utils.checkpoints import resolve_repo_path
 

@@ -121,6 +121,32 @@ class TestTrainSaveLoad:
         enc = build_clip_encoder(config)
         assert isinstance(enc, TrainedClipEncoder)
 
+    def test_cached_dims_win_over_ladder(self, trained, tmp_path):
+        """A feature cache written under one tower (hash 768) must not
+        crash projection when reloaded under another (trained mini
+        width): the projector head sizes off the DATA."""
+        import scripts.realtime_inference as ri
+
+        video = "synthetic://dimtest?duration=8&fps=2"
+        config = load_preset("light")
+        config.perception.use_videomae = True
+        config.perception.videomae_checkpoint = None   # hash fake: 768
+        config.inference.cache_dir = str(tmp_path)
+        config.inference.use_feature_cache = True
+        r1 = ri.process_video(video, config, use_cache=True)
+        assert r1.videomae_embeddings[0][1].shape[-1] == 768
+
+        config2 = load_preset("light")
+        config2.perception.use_videomae = True
+        config2.perception.videomae_checkpoint = trained  # 32-dim tower
+        config2.inference.cache_dir = str(tmp_path)
+        config2.inference.use_feature_cache = True
+        r2 = ri.process_video(video, config2, use_cache=True)
+        # cache hit serves the 768-d embeddings; the loop must size to
+        # them, not to the resolved checkpoint
+        assert r2.videomae_embeddings[0][1].shape[-1] == 768
+        assert r2.loop.config.videomae_dim == 768
+
 
 class _StubClassifierEncoder:
     """Deterministic classify_clips for the event-emission contract."""
