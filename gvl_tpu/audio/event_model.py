@@ -68,7 +68,8 @@ class AudioEventNet(nn.Module):
     config: EventModelConfig
 
     @nn.compact
-    def __call__(self, mel: jax.Array, log_rms: jax.Array) -> jax.Array:
+    def __call__(self, mel: jax.Array, log_rms: jax.Array,
+                 return_features: bool = False) -> jax.Array:
         cfg = self.config
         x = mel[..., None]                          # [B, T, M, 1]
         for feat in (32, 64, 128):
@@ -77,6 +78,8 @@ class AudioEventNet(nn.Module):
         x = x.mean(axis=(1, 2))                     # [B, 128]
         x = jnp.concatenate([x, log_rms[:, None]], axis=-1)
         x = nn.gelu(nn.Dense(cfg.hidden, name="head1")(x))
+        if return_features:
+            return x                                # [B, hidden]
         return nn.Dense(cfg.n_classes, name="head2")(x)
 
 
@@ -297,6 +300,56 @@ def load_event_params(path) -> dict:
     from gvl_tpu.utils.checkpoints import load_flat_npz
 
     return load_flat_npz(path)
+
+
+class TrainedAudioEmbedder:
+    """wav2vec2-slot trained rung: event-model penultimate features.
+
+    The shipped event classifier (1.000 held-out over 6 procedural
+    classes) learned a representation of game-audio content; its
+    penultimate layer, mean-pooled over 1 s windows, gives the audio
+    chunk embedder a REAL trained rung between the HF wav2vec2 tower
+    and the hash fake — the same ladder position the trained
+    ASR/OCR/segmenter/clip-encoder artifacts occupy.  Reference slot:
+    `/root/reference/scripts/realtime_inference.py:384-441`.
+    """
+
+    def __init__(self, params: dict,
+                 config: Optional[EventModelConfig] = None):
+        self.config = config or EventModelConfig()
+        self.dim = self.config.hidden
+        self.params = params
+        model = AudioEventNet(self.config)
+
+        @jax.jit
+        def run(wavs):
+            mel, log_rms = _features(wavs)
+            feats = model.apply(self.params, mel, log_rms,
+                                return_features=True)
+            return feats.mean(axis=0)
+
+        self._run = run
+
+    def __call__(self, chunk: np.ndarray, sample_rate: int) -> np.ndarray:
+        cfg = self.config
+        win = cfg.window_samples
+        if sample_rate != cfg.sample_rate:
+            n_out = int(len(chunk) * cfg.sample_rate / sample_rate)
+            chunk = np.interp(
+                np.linspace(0, max(len(chunk) - 1, 1), max(n_out, 1)),
+                np.arange(len(chunk)), chunk).astype(np.float32)
+        if len(chunk) < win:
+            chunk = np.pad(chunk.astype(np.float32),
+                           (0, win - len(chunk)))
+        n = len(chunk) // win
+        wavs = chunk[: n * win].reshape(n, win).astype(np.float32)
+        return np.asarray(self._run(jnp.asarray(wavs)), np.float32)
+
+    @classmethod
+    def from_checkpoint(cls, path,
+                        config: Optional[EventModelConfig] = None
+                        ) -> "TrainedAudioEmbedder":
+        return cls(load_event_params(path), config)
 
 
 class JaxAudioEventDetector:

@@ -622,4 +622,12 @@ def build_audio_stack(preset_audio) -> tuple[AudioProcessor, Callable]:
                     preset_audio, "wav2vec2_chunk_seconds", 10.0),
                 sample_rate=config.sample_rate)
             logger.info("audio embeddings: wav2vec2 JAX from %s", w2v_dir)
+        elif event_ckpt:
+            # trained rung below the HF tower: the shipped event
+            # classifier's penultimate features (mean-pooled 1 s windows)
+            from gvl_tpu.audio.event_model import TrainedAudioEmbedder
+
+            embedder = TrainedAudioEmbedder.from_checkpoint(event_ckpt)
+            logger.info("audio embeddings: trained event-model features "
+                        "from %s", event_ckpt)
     return processor, embedder

@@ -405,6 +405,9 @@ def process_video(
     if result.siglip_embeddings:
         reasoning_config.siglip_dim = int(
             result.siglip_embeddings[0][1].shape[-1])
+    if result.audio_embeddings:
+        reasoning_config.audiomae_dim = int(
+            result.audio_embeddings[0][1].shape[-1])
     with timer.stage("loop_init"):
         from gvl_tpu.utils.checkpoints import resolve_repo_path
 

@@ -197,6 +197,46 @@ class TestAudioLadder:
         proc, _ = build_audio_stack(config.audio)
         assert isinstance(proc.asr, TrainedByteASR)
 
+    def test_event_features_are_trained_embedder_rung(self):
+        """Below the HF wav2vec2 tower, the shipped event classifier's
+        penultimate features are the audio chunk embedder — and they
+        separate event classes (same-class windows closer than
+        cross-class)."""
+        from pathlib import Path
+
+        import pytest
+
+        from gvl_tpu.audio import build_audio_stack
+        from gvl_tpu.audio.event_model import (
+            EventModelConfig,
+            TrainedAudioEmbedder,
+            synth_event,
+        )
+
+        if not Path("outputs/audio_event_params.npz").exists():
+            pytest.skip("shipped event artifact not present")
+        config = load_preset("standard")  # light disables use_wav2vec
+        config.audio.wav2vec2_checkpoint = None
+        _, embedder = build_audio_stack(config.audio)
+        assert isinstance(embedder, TrainedAudioEmbedder)
+
+        cfg = EventModelConfig()
+        rng = np.random.default_rng(0)
+
+        def emb(cls):
+            wav = synth_event(rng, cls, cfg)
+            return embedder(np.asarray(wav, np.float32), cfg.sample_rate)
+
+        e1 = emb("impact")
+        assert e1.shape == (cfg.hidden,)
+        cos = lambda a, b: float(
+            (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+        same = np.mean([cos(emb("impact"), emb("impact"))
+                        for _ in range(3)])
+        cross = np.mean([cos(emb("impact"), emb("music"))
+                         for _ in range(3)])
+        assert same > cross
+
     def test_wav2vec2_checkpoint_loads_jax_embedder(
         self, tiny_wav2vec2_dir
     ):
