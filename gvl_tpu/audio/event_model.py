@@ -116,6 +116,30 @@ def synth_event(rng: np.random.Generator, cls: str,
         return (rng.normal(0, rng.uniform(1e-5, 4e-4), n)
                 ).astype(np.float32)
     if cls == "speech":
+        if rng.random() < 0.5:
+            # the OTHER procedural speech in this codebase: the byte
+            # ASR's formant synthesis.  Without this variant the event
+            # classifier labels ASR-style speech as music/impact (the
+            # measured cross-subsystem mismatch on audio-enabled
+            # synthetic clips), which breaks event-gated transcription.
+            from gvl_tpu.training.asr_train import (
+                SpeakerProfile,
+                synth_speech,
+            )
+
+            words = ("enemy ahead", "take cover", "press it", "run now",
+                     "over here", "watch out", "go left", "help me")
+            text = " ".join(str(rng.choice(words))
+                            for _ in range(int(rng.integers(1, 3))))
+            wav = synth_speech(rng, text,
+                               profile=SpeakerProfile.sample(rng),
+                               total_seconds=config.window_seconds
+                               ).astype(np.float64)[:n]
+            if len(wav) < n:
+                wav = np.pad(wav, (0, n - len(wav)))
+            level = rng.uniform(0.05, 0.4)
+            wav = wav / (np.abs(wav).max() + 1e-9) * level
+            return wav.astype(np.float32)
         # harmonic source with wandering f0 + syllabic (3-8 Hz) AM +
         # formant-ish band emphasis via modulated harmonics amplitude
         f0 = rng.uniform(90, 280)

@@ -465,12 +465,46 @@ class AudioProcessor:
         result = AudioAnalysisResult(
             start_time=offset, end_time=offset + len(audio) / sample_rate
         )
-        if self.config.enable_transcription:
-            result.transcriptions = self.transcribe(audio, sample_rate, offset)
         if self.config.enable_event_detection:
             result.events = self.detect_audio_events(audio, sample_rate, offset)
+        if self.config.enable_transcription:
+            # event-gated transcription: with a trained event classifier
+            # the ASR runs only on speech-classified spans — decoding
+            # music/impact windows produces garbage text (the reference's
+            # dual-mode split, `qwen_audio_processor.py:474-548`); full
+            # chunking remains the no-classifier fallback
+            spans = (self._speech_spans(result.events, offset)
+                     if self.event_backend is not None else None)
+            if spans is None:
+                result.transcriptions = self.transcribe(
+                    audio, sample_rate, offset)
+            else:
+                result.transcriptions = []
+                for t0, t1 in spans:
+                    s0 = max(0, int((t0 - offset) * sample_rate))
+                    s1 = min(len(audio), int((t1 - offset) * sample_rate))
+                    if s1 <= s0:
+                        continue
+                    result.transcriptions.extend(self.transcribe(
+                        audio[s0:s1], sample_rate, offset + s0 / sample_rate))
         result.dominant_type = self._dominant(result)
         return result
+
+    @staticmethod
+    def _speech_spans(events, offset: float,
+                      pad: float = 0.5) -> list[tuple[float, float]]:
+        """Merged (start, end) spans of SPEECH-classified events, padded
+        ``pad`` seconds each side (window quantization slack)."""
+        spans = sorted(
+            (ev.start_time - pad, ev.end_time + pad)
+            for ev in events if ev.event_type is AudioEventType.SPEECH)
+        merged: list[tuple[float, float]] = []
+        for t0, t1 in spans:
+            if merged and t0 <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], t1))
+            else:
+                merged.append((t0, t1))
+        return merged
 
     def analyze_video_audio(self, video_path: str | Path) -> AudioAnalysisResult:
         audio, rate = self.preprocessor.extract_from_video(video_path)

@@ -144,7 +144,8 @@ class SyntheticVideo:
     def __init__(self, scene: str = "boss_fight", duration: float = 10.0,
                  fps: float = 30.0, width: int = 320, height: int = 240,
                  entities: Optional[list[str]] = None,
-                 hud_text: Optional[str] = None):
+                 hud_text: Optional[str] = None,
+                 with_audio: bool = False):
         self.scene = scene
         self.duration = duration
         self.fps = fps
@@ -155,6 +156,8 @@ class SyntheticVideo:
         self.entities = entities
         # optional white HUD text rendered each frame (OCR grounding)
         self.hud_text = hud_text
+        # ``?audio=1``: procedural soundtrack with known ground truth
+        self.with_audio = with_audio
         seed = int.from_bytes(scene.encode()[:8].ljust(8, b"\0"), "little")
         rng = np.random.default_rng(seed)
         self._bg = rng.integers(20, 80, (height, width, 3)).astype(np.uint8)
@@ -177,6 +180,7 @@ class SyntheticVideo:
             height=int(get("height", 240)),
             entities=entities,
             hud_text=hud_text,
+            with_audio=bool(int(get("audio", 0))),
         )
 
     @property
@@ -264,6 +268,70 @@ class SyntheticVideo:
     def __iter__(self) -> Iterator[np.ndarray]:
         for i in range(self.num_frames):
             yield self.frame(i)
+
+    # ------------------------------------------------------------- audio
+    # Procedural soundtrack with KNOWN ground truth, so the audio stack
+    # (trained event classifier + trained byte ASR + chunk embedder) is
+    # exercisable end-to-end on synthetic clips — previously they were
+    # silent and audio capability was untestable through process_video.
+    # Opt-in via ``synthetic://scene?audio=1`` (existing fixtures keep
+    # their silent behavior).
+
+    SPEECH_LINES = ("enemy ahead take cover", "press the button now",
+                    "grab the key and run", "the bridge is out")
+
+    def audio_ground_truth(self) -> list[tuple[float, str, str]]:
+        """[(t_seconds, kind, payload)] — kinds: speech/impact/ui."""
+        rng = np.random.default_rng(
+            int.from_bytes(self.scene.encode()[:8].ljust(8, b"\0"),
+                           "little") ^ 0xA0D10)
+        truth = []
+        if self.duration >= 6.0:
+            text = str(self.SPEECH_LINES[
+                int(rng.integers(0, len(self.SPEECH_LINES)))])
+            truth.append((0.5, "speech", text))
+        if self.duration >= 3.0:
+            truth.append((round(self.duration * 0.55, 2), "impact", ""))
+        if self.duration >= 4.0:
+            truth.append((round(self.duration * 0.8, 2), "ui", ""))
+        return truth
+
+    def audio(self, sample_rate: int = 16000) -> tuple[np.ndarray, int]:
+        """Deterministic f32 track for the clip ([duration*sr], sr)."""
+        n = int(self.duration * sample_rate)
+        out = np.zeros(n, np.float32)
+        rng = np.random.default_rng(
+            int.from_bytes(self.scene.encode()[:8].ljust(8, b"\0"),
+                           "little") ^ 0xA0D10)
+        for t, kind, payload in self.audio_ground_truth():
+            start = int(t * sample_rate)
+            if kind == "speech":
+                from gvl_tpu.training.asr_train import (
+                    SpeakerProfile,
+                    synth_speech,
+                )
+
+                # fixed mid-range profile: inside every trained range,
+                # so the shipped ASR's transcript is dependable
+                profile = SpeakerProfile(f0=140.0, formant_scale=1.0,
+                                         char_dur=0.075, noise_db=-28.0)
+                wav = synth_speech(np.random.default_rng(7), payload,
+                                   profile=profile, total_seconds=4.0)
+            else:
+                from gvl_tpu.audio.event_model import (
+                    EventModelConfig,
+                    synth_event,
+                )
+
+                wav = synth_event(np.random.default_rng(11 if kind ==
+                                                        "impact" else 13),
+                                  kind, EventModelConfig())
+            end = min(n, start + len(wav))
+            if end > start:
+                out[start:end] += np.asarray(wav[: end - start],
+                                             np.float32)
+        del rng
+        return np.clip(out, -1.0, 1.0), sample_rate
 
 
 # -------------------------------------------------------------- dispatcher

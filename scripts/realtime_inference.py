@@ -149,13 +149,18 @@ def run_audio_analysis(video_path: str, timeline, config: SystemConfig):
     from gvl_tpu.audio import build_audio_stack
 
     proc, embedder = build_audio_stack(config.audio)
-    wav_path = Path(video_path).with_suffix(".wav")
-    if wav_path.exists():
+    if str(video_path).startswith("synthetic://"):
+        from gvl_tpu.io.video import SyntheticVideo
+
+        synth = SyntheticVideo.from_url(str(video_path))
+        if synth.with_audio:   # procedural track with known truth
+            audio, rate = synth.audio()
+        else:
+            audio, rate = np.zeros(16000, np.float32), 16000
+    elif (wav_path := Path(video_path).with_suffix(".wav")).exists():
         audio, rate = proc.preprocessor.load_audio(wav_path)
-    elif not str(video_path).startswith("synthetic://"):
-        audio, rate = proc.preprocessor.extract_from_video(video_path)
     else:
-        audio, rate = np.zeros(16000, np.float32), 16000
+        audio, rate = proc.preprocessor.extract_from_video(video_path)
     result = proc.analyze_audio(audio, rate)
     timeline.add_from_audio_result(result)
     # wav2vec2-style chunk embeddings (10 s chunks)
