@@ -158,6 +158,27 @@ class BenchmarkLoader(ABC):
                             f"video? Answer Yes or No.")
                 options = ["Yes", "No"]
                 answer_format = AnswerFormat.BINARY
+            elif i % 4 == 3:
+                # audio-grounded MCQ: the clip renders a deterministic
+                # speech utterance (io.video audio_ground_truth); the
+                # answer requires event detection → gated ASR →
+                # timeline speech event → retrieval — the audio stack
+                # end to end, not just the visual one
+                from gvl_tpu.io.video import SyntheticVideo
+
+                entities = "player," + rng.choice(self._SYNTH_CONCEPTS)
+                scene = f"concept_demo_{self.name}_{i}"
+                sv = SyntheticVideo.from_url(
+                    f"synthetic://{scene}?duration={duration}&audio=1")
+                spoken = next((payload for _, kind, payload
+                               in sv.audio_ground_truth()
+                               if kind == "speech"), None)
+                assert spoken, "speech requires duration >= 6"
+                options = list(SyntheticVideo.SPEECH_LINES)
+                truth = spoken
+                question = ("What does the voice in this clip say? "
+                            "Pick the option matching the spoken line.")
+                answer_format = AnswerFormat.MCQ
             else:
                 # MCQ: exactly one (or none) of the options is rendered
                 present = rng.choice(self._SYNTH_CONCEPTS + (None,))
@@ -174,6 +195,7 @@ class BenchmarkLoader(ABC):
                 video_path=(
                     f"synthetic://concept_demo_{self.name}_{i}"
                     f"?duration={duration}&fps=2&entities={entities}"
+                    + ("&audio=1" if i % 4 == 3 else "")
                 ),
                 question=question,
                 options=options,

@@ -75,7 +75,7 @@ def synthetic_gate() -> EvalModelConfig:
     return EvalModelConfig(
         name="synthetic_gate",
         description="grounded synthetic QA gate (trained segmenter)",
-        use_sam=True, use_siglip=False, use_asr=False, use_hico=False,
+        use_sam=True, use_siglip=False, use_asr=True, use_hico=False,
         fps=1.0, max_frames=32, max_new_tokens=128,
     )
 
@@ -88,7 +88,7 @@ def qa_lm() -> EvalModelConfig:
     return EvalModelConfig(
         name="qa_lm",
         description="grounded synthetic QA via the trained byte LM",
-        use_sam=True, use_siglip=False, use_asr=False, use_hico=False,
+        use_sam=True, use_siglip=False, use_asr=True, use_hico=False,
         fps=1.0, max_frames=32, max_new_tokens=128,
         llm_checkpoint="outputs/qa_lm",
     )

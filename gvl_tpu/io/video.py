@@ -280,11 +280,19 @@ class SyntheticVideo:
     SPEECH_LINES = ("enemy ahead take cover", "press the button now",
                     "grab the key and run", "the bridge is out")
 
+    def _audio_seed(self) -> int:
+        """Full-name hash: scene names sharing a first-8-byte prefix
+        (every ``concept_demo_*``) must NOT share a soundtrack, or the
+        audio-grounded QA family degenerates to one constant answer."""
+        import hashlib
+
+        digest = hashlib.blake2b(self.scene.encode(),
+                                 digest_size=8).digest()
+        return int.from_bytes(digest, "little") ^ 0xA0D10
+
     def audio_ground_truth(self) -> list[tuple[float, str, str]]:
         """[(t_seconds, kind, payload)] — kinds: speech/impact/ui."""
-        rng = np.random.default_rng(
-            int.from_bytes(self.scene.encode()[:8].ljust(8, b"\0"),
-                           "little") ^ 0xA0D10)
+        rng = np.random.default_rng(self._audio_seed())
         truth = []
         if self.duration >= 6.0:
             text = str(self.SPEECH_LINES[
@@ -300,9 +308,7 @@ class SyntheticVideo:
         """Deterministic f32 track for the clip ([duration*sr], sr)."""
         n = int(self.duration * sample_rate)
         out = np.zeros(n, np.float32)
-        rng = np.random.default_rng(
-            int.from_bytes(self.scene.encode()[:8].ljust(8, b"\0"),
-                           "little") ^ 0xA0D10)
+        rng = np.random.default_rng(self._audio_seed())
         for t, kind, payload in self.audio_ground_truth():
             start = int(t * sample_rate)
             if kind == "speech":

@@ -43,6 +43,18 @@ class TestSyntheticAudioTrack:
         sv = SyntheticVideo.from_url("synthetic://plain?duration=10")
         assert not sv.with_audio
 
+    def test_shared_prefix_scenes_differ(self):
+        """Scene names sharing an 8-byte prefix (every concept_demo_*)
+        must draw distinct soundtracks — the audio-grounded QA family
+        is only a real MCQ if the spoken line varies across clips."""
+        lines = set()
+        for i in range(8):
+            sv = SyntheticVideo(f"concept_demo_scene_{i}", duration=20,
+                                with_audio=True)
+            lines.add(next(p for _, k, p in sv.audio_ground_truth()
+                           if k == "speech"))
+        assert len(lines) >= 3
+
     def test_short_clips_drop_unfittable_events(self):
         sv = SyntheticVideo("s", duration=3.5, with_audio=True)
         kinds = {k for _, k, _ in sv.audio_ground_truth()}
