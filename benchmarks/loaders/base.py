@@ -142,6 +142,7 @@ class BenchmarkLoader(ABC):
         could match)."""
         rng = random.Random(self.config.random_seed)
         out = []
+        n_audio = 0  # audio MCQs emitted so far (distinct-line cycling)
         for i in range(n):
             duration = rng.choice([10, 20])
             if i % 2 == 0:
@@ -166,14 +167,38 @@ class BenchmarkLoader(ABC):
                 # end to end, not just the visual one
                 from gvl_tpu.io.video import SyntheticVideo
 
+                if duration < 6:
+                    raise ValueError(
+                        "audio-grounded samples need duration >= 6 s for "
+                        f"a speech event (got {duration})")
                 entities = "player," + rng.choice(self._SYNTH_CONCEPTS)
-                scene = f"concept_demo_{self.name}_{i}"
-                sv = SyntheticVideo.from_url(
-                    f"synthetic://{scene}?duration={duration}&audio=1")
-                spoken = next((payload for _, kind, payload
-                               in sv.audio_ground_truth()
-                               if kind == "speech"), None)
-                assert spoken, "speech requires duration >= 6"
+                # Distinct spoken lines within one loader: cycle the
+                # target line by audio-sample index and re-roll the
+                # scene nonce until the soundtrack (derived from the
+                # scene name) speaks it — otherwise two audio samples
+                # can hash to the same line and a constant-answer
+                # model aces the family by chance (ADVICE r3).  The
+                # sample's video_path IS the probed URL, so truth can
+                # never desync from the rendered clip.
+                want = SyntheticVideo.SPEECH_LINES[
+                    n_audio % len(SyntheticVideo.SPEECH_LINES)]
+                spoken = video_path = None
+                for nonce in range(64):
+                    scene = (f"concept_demo_{self.name}_{i}"
+                             + (f"_{nonce}" if nonce else ""))
+                    video_path = (
+                        f"synthetic://{scene}?duration={duration}"
+                        f"&fps=2&entities={entities}&audio=1")
+                    sv = SyntheticVideo.from_url(video_path)
+                    spoken = next((payload for _, kind, payload
+                                   in sv.audio_ground_truth()
+                                   if kind == "speech"), None)
+                    if spoken == want:
+                        break
+                if spoken is None:
+                    raise ValueError(
+                        f"no speech event rendered for {video_path}")
+                n_audio += 1
                 options = list(SyntheticVideo.SPEECH_LINES)
                 truth = spoken
                 question = ("What does the voice in this clip say? "
@@ -189,14 +214,14 @@ class BenchmarkLoader(ABC):
                 question = ("Besides the player, which of the following "
                             "entities appears in this video?")
                 answer_format = AnswerFormat.MCQ
+            if i % 4 != 3:  # audio branch already built its exact URL
+                video_path = (
+                    f"synthetic://concept_demo_{self.name}_{i}"
+                    f"?duration={duration}&fps=2&entities={entities}")
             out.append(BenchmarkSample(
                 sample_id=f"{self.name}_synth_{i:04d}",
                 benchmark_name=self.name,
-                video_path=(
-                    f"synthetic://concept_demo_{self.name}_{i}"
-                    f"?duration={duration}&fps=2&entities={entities}"
-                    + ("&audio=1" if i % 4 == 3 else "")
-                ),
+                video_path=video_path,
                 question=question,
                 options=options,
                 ground_truth=truth,

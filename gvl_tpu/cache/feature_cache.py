@@ -29,7 +29,10 @@ def video_content_hash(video_path: str | Path) -> str:
     path = Path(video_path)
     if not path.exists():
         if str(video_path).startswith("synthetic://"):
-            return hashlib.sha256(str(video_path).encode()).hexdigest()[:16]
+            from gvl_tpu.io.video import SYNTHETIC_SCHEME_VERSION
+
+            key = f"v{SYNTHETIC_SCHEME_VERSION}:{video_path}"
+            return hashlib.sha256(key.encode()).hexdigest()[:16]
         return ""
     size = path.stat().st_size
     chunk = min(1024 * 1024, size)

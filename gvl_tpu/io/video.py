@@ -134,6 +134,14 @@ def write_y4m(path: str | Path, frames: list[np.ndarray], fps: float) -> None:
 
 # --------------------------------------------------------------- synthetic
 
+# Bump whenever the deterministic synthetic renderer or soundtrack scheme
+# changes (e.g. the audio-seed derivation in ``_audio_seed``): it is mixed
+# into the feature-cache content hash for ``synthetic://`` URLs, so stale
+# cache entries carrying old-scheme transcripts can never silently
+# mismatch recomputed ground truth (ADVICE r3).
+SYNTHETIC_SCHEME_VERSION = 2
+
+
 class SyntheticVideo:
     """Procedural gameplay-like clip: moving entities + HUD bar.
 
@@ -308,7 +316,6 @@ class SyntheticVideo:
         """Deterministic f32 track for the clip ([duration*sr], sr)."""
         n = int(self.duration * sample_rate)
         out = np.zeros(n, np.float32)
-        rng = np.random.default_rng(self._audio_seed())
         for t, kind, payload in self.audio_ground_truth():
             start = int(t * sample_rate)
             if kind == "speech":
@@ -336,7 +343,6 @@ class SyntheticVideo:
             if end > start:
                 out[start:end] += np.asarray(wav[: end - start],
                                              np.float32)
-        del rng
         return np.clip(out, -1.0, 1.0), sample_rate
 
 

@@ -571,20 +571,67 @@ class Qwen3Engine:
         variables: dict,
         eos_token_id: int = 151645,  # <|im_end|>
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """``mesh``: when serving tensor-parallel (variables sharded over
+        a ``model`` axis), pass the mesh so the KV cache gets an EXPLICIT
+        NamedSharding consistent with the decode-attention consumer
+        (kv-heads over ``model`` when divisible, replicated otherwise) and
+        keeps it through every step via ``out_shardings`` — without this
+        GSPMD infers a per-op cache sharding and falls back to involuntary
+        full rematerialization (replicate + repartition the whole cache
+        every decode step; VERDICT r3 #6)."""
         self.config = config
         self.variables = variables
         self.eos_token_id = eos_token_id
         self.model = Qwen3Model(config)
         self._dtype = dtype
+        self._mesh = mesh
         self._jit_cache: dict = {}
+
+    def _cache_sharding(self):
+        """NamedSharding tree matching :meth:`KVCache.zeros`'s layout, or
+        None when no mesh is configured."""
+        if self._mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.config
+        model_size = dict(self._mesh.shape).get("model", 1)
+        head_axis = ("model" if model_size > 1
+                     and cfg.num_kv_heads % model_size == 0 else None)
+        if cfg.scan_layers:  # [L, B, Hkv, S, D]
+            spec = P(None, None, head_axis, None, None)
+        else:                # [B, Hkv, S, D] per layer
+            spec = P(None, head_axis, None, None)
+        return NamedSharding(self._mesh, spec)
+
+    def _shard_cache(self, cache: "KVCache") -> "KVCache":
+        ns = self._cache_sharding()
+        if ns is None:
+            return cache
+        put = lambda side: jax.tree.map(lambda a: jax.device_put(a, ns),
+                                        side)
+        return cache._replace(k=put(cache.k), v=put(cache.v))
+
+    def _cache_out_shardings(self):
+        """(token, cache) out_shardings pytree pinning the cache's
+        sharding through prefill/step; None when no mesh."""
+        ns = self._cache_sharding()
+        if ns is None:
+            return None
+        n = self.config.num_layers
+        sides = (ns if self.config.scan_layers
+                 else tuple(ns for _ in range(n)))
+        return (None, KVCache(k=sides, v=sides, length=None))
 
     def _prefill_fn(self, sampling: tuple):
         key = ("prefill", sampling)
         if key not in self._jit_cache:
             temperature, top_p, top_k = sampling
 
-            @partial(jax.jit, donate_argnums=(2,))
+            @partial(jax.jit, donate_argnums=(2,),
+                     out_shardings=self._cache_out_shardings())
             def prefill(variables, tokens, cache, embeds_prefix, true_len, rng):
                 """Prompt (optionally with an injected multimodal embedding
                 prefix) through the model; sample the first new token."""
@@ -614,7 +661,8 @@ class Qwen3Engine:
         if key not in self._jit_cache:
             temperature, top_p, top_k = sampling
 
-            @partial(jax.jit, donate_argnums=(2,))
+            @partial(jax.jit, donate_argnums=(2,),
+                     out_shardings=self._cache_out_shardings())
             def step(variables, token, cache, rng):
                 positions = cache.length[None]
                 logits, cache = self.model.apply(
@@ -667,7 +715,8 @@ class Qwen3Engine:
             ids = np.pad(ids, ((0, 0), (0, pad)))
 
         sampling = (float(temperature), float(top_p), int(top_k))
-        cache = KVCache.zeros(self.config, batch=1, dtype=self._dtype)
+        cache = self._shard_cache(
+            KVCache.zeros(self.config, batch=1, dtype=self._dtype))
         rng, sub = jax.random.split(rng)
         token, cache = self._prefill_fn(sampling)(
             self.variables, jnp.asarray(ids), cache, prefix,

@@ -1,0 +1,199 @@
+"""Pallas-fused W8A8 serving path for the SigLIP vision tower.
+
+The XLA-composed W8A8 tower (``SigLIPVisionConfig(quant_int8=True)``)
+only realizes 1.04-1.12x of the int8 MXU's measured ~2x dot-level gain
+because quantize/dequantize/LayerNorm/GELU glue round-trips activations
+through HBM between every dot (`scripts/profile_tower.py` breakdown).
+This module rebuilds the encoder stack on the fused kernels of
+:mod:`gvl_tpu.ops.quant_matmul`:
+
+    residual stream (bf16, row-padded once per tower)
+      → ln_quant                      [LayerNorm + quantize, one pass]
+      → w8a8_matmul  (fused QKV)      [int8 dot → dequant+bias → bf16]
+      → flash attention (bf16)
+      → quant_static
+      → w8a8_matmul  (o-proj)         [... → +residual, bf16]
+      → ln_quant
+      → w8a8_matmul  (fc1)            [... → tanh-GELU → requant, int8]
+      → w8a8_matmul  (fc2)            [... → +residual, bf16]
+
+so the [M, intermediate] activation exists only as int8 and every
+elementwise op rides a matmul or a single fused pass.  Activation
+scales are the same static per-tensor calibration the XLA path uses
+(:func:`gvl_tpu.models.siglip.calibrate_siglip_int8`), so accuracy is
+identical to the already-verified static-act tower up to bf16 rounding
+of the LayerNorm output.
+
+Reference capability surface: the torch SigLIP wrapper's bf16-autocast
+encode (`/root/reference/src/perception/siglip_semantic_encoder.py:
+261-289`); this path is the TPU-first replacement that clears the
+BASELINE 300 img/s-per-chip bar.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.models.siglip import MAPHead, SigLIPVisionConfig
+from gvl_tpu.ops.attention import dot_product_attention
+from gvl_tpu.ops.quant_matmul import ln_quant, quant_static, w8a8_matmul
+
+# Residual-stream rows padded to this multiple, once per tower.  512
+# keeps the matmul kernels' m-blocks tall (weight HBM traffic scales
+# with m/block_m) while bounding pad waste for small region buckets.
+ROW_PAD = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
+    """Calibrated static-act W8A8 params → fused serving layout.
+
+    ``params`` is the tree produced by ``quantize_siglip_int8`` +
+    ``calibrate_siglip_int8`` (every encoder dense holds ``kernel_q`` /
+    ``scale`` / ``bias`` / ``act_scale``).  Returns a plain pytree:
+    q/k/v kernels concatenated, MLP dims padded to a lane multiple,
+    dequant scales combined (act * weight), quantize scales inverted.
+    """
+    d = config.hidden_size
+    di = config.intermediate_size
+    dip = _round_up(di, 128)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    layers = []
+    for i in range(config.num_layers):
+        lp = params[f"layers_{i}"]
+        at, mlp = lp["attention"], lp["mlp"]
+        names = ("q_proj", "k_proj", "v_proj")
+        act_in = f32(at["q_proj"]["act_scale"])
+        o, fc1, fc2 = at["o_proj"], mlp["fc1"], mlp["fc2"]
+        pad = dip - di
+        layers.append({
+            "ln1_g": f32(lp["LayerNorm_0"]["scale"]),
+            "ln1_b": f32(lp["LayerNorm_0"]["bias"]),
+            "ln1_inv": 1.0 / act_in,
+            "w_qkv": jnp.concatenate(
+                [at[k]["kernel_q"] for k in names], axis=1),
+            "s_qkv": act_in * jnp.concatenate(
+                [f32(at[k]["scale"]) for k in names]),
+            "b_qkv": jnp.concatenate([f32(at[k]["bias"]) for k in names]),
+            "attn_inv": 1.0 / f32(o["act_scale"]),
+            "w_o": o["kernel_q"],
+            "s_o": f32(o["act_scale"]) * f32(o["scale"]),
+            "b_o": f32(o["bias"]),
+            "ln2_g": f32(lp["LayerNorm_1"]["scale"]),
+            "ln2_b": f32(lp["LayerNorm_1"]["bias"]),
+            "ln2_inv": 1.0 / f32(fc1["act_scale"]),
+            "w1": jnp.pad(fc1["kernel_q"], ((0, 0), (0, pad))),
+            "s1": jnp.pad(f32(fc1["act_scale"]) * f32(fc1["scale"]),
+                          (0, pad)),
+            "b1": jnp.pad(f32(fc1["bias"]), (0, pad)),
+            "gelu_inv": 1.0 / f32(fc2["act_scale"]),
+            "w2": jnp.pad(fc2["kernel_q"], ((0, pad), (0, 0))),
+            "s2": f32(fc2["act_scale"]) * f32(fc2["scale"]),
+            "b2": f32(fc2["bias"]),
+        })
+
+    bf16 = lambda a: jnp.asarray(a, jnp.bfloat16)
+    bf = {
+        "patch_kernel": bf16(params["patch_embed"]["proj"]["kernel"]),
+        "patch_bias": bf16(params["patch_embed"]["proj"]["bias"]),
+        "pos_embed": bf16(params["pos_embed"]),
+        "post_norm_g": f32(params["post_norm"]["scale"]),
+        "post_norm_b": f32(params["post_norm"]["bias"]),
+        "head": params["head"],
+    }
+    return {"bf16": bf, "layers": layers}
+
+
+def _fused_layer(h: jax.Array, lp: dict, config: SigLIPVisionConfig,
+                 batch: int, seq: int, m: int) -> jax.Array:
+    """One encoder layer over the row-padded [Mp, D] residual stream."""
+    d = config.hidden_size
+    n_heads = config.num_heads
+    d_head = d // n_heads
+    mp = h.shape[0]
+    eps = config.layer_norm_eps
+
+    xq = ln_quant(h, lp["ln1_g"], lp["ln1_b"], lp["ln1_inv"], eps=eps)
+    qkv = w8a8_matmul(xq, lp["w_qkv"], lp["s_qkv"], lp["b_qkv"])
+    qkv = qkv[:m].reshape(batch, seq, 3, n_heads, d_head)
+    q, k, v = (qkv[:, :, j].swapaxes(1, 2) for j in range(3))
+    attn = dot_product_attention(q, k, v)
+    attn = attn.swapaxes(1, 2).reshape(m, d)
+    attn = jnp.pad(attn, ((0, mp - m), (0, 0)))
+    aq = quant_static(attn, lp["attn_inv"])
+    h = w8a8_matmul(aq, lp["w_o"], lp["s_o"], lp["b_o"],
+                    epilogue="residual", residual=h)
+
+    yq = ln_quant(h, lp["ln2_g"], lp["ln2_b"], lp["ln2_inv"], eps=eps)
+    hq = w8a8_matmul(yq, lp["w1"], lp["s1"], lp["b1"],
+                     epilogue="gelu_quant", out_scale_inv=lp["gelu_inv"])
+    return w8a8_matmul(hq, lp["w2"], lp["s2"], lp["b2"],
+                       epilogue="residual", residual=h)
+
+
+def siglip_fused_apply(
+    fused: dict, pixels: jax.Array, config: SigLIPVisionConfig,
+    *, pool: bool = True,
+) -> dict[str, jax.Array]:
+    """Forward pass with the ``SigLIPVisionTower`` output contract."""
+    cfg = config
+    bf: dict[str, Any] = fused["bf16"]
+    b, hgt, wdt, c = pixels.shape
+    p = cfg.patch_size
+    nh, nw = hgt // p, wdt // p
+    x = pixels[:, : nh * p, : nw * p].astype(jnp.bfloat16)
+    x = x.reshape(b, nh, p, nw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, nh * nw, p * p * c)
+    x = x @ bf["patch_kernel"] + bf["patch_bias"]
+
+    pos = bf["pos_embed"]
+    if x.shape[1] != pos.shape[0]:  # off-size bucket: resize learned grid
+        side = cfg.patches_per_side
+        grid = pos.reshape(side, side, cfg.hidden_size)
+        grid = jax.image.resize(grid.astype(jnp.float32),
+                                (nh, nw, cfg.hidden_size), "bilinear")
+        pos = grid.reshape(nh * nw, cfg.hidden_size).astype(pos.dtype)
+    x = x + pos[None]
+
+    seq, d = x.shape[1], cfg.hidden_size
+    m = b * seq
+    mp = _round_up(m, ROW_PAD)
+    h = jnp.pad(x.reshape(m, d), ((0, mp - m), (0, 0)))
+    for lp in fused["layers"]:
+        h = _fused_layer(h, lp, cfg, b, seq, m)
+    x = h[:m].reshape(b, seq, d)
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    x = (xc * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+         * bf["post_norm_g"] + bf["post_norm_b"]).astype(jnp.bfloat16)
+
+    out = {"last_hidden_state": x}
+    if pool:
+        out["pooled"] = MAPHead(cfg, name="head").apply(
+            {"params": bf["head"]}, x)
+    return out
+
+
+def prepare_fused_siglip(params: dict, config: SigLIPVisionConfig,
+                         sample_pixels) -> dict:
+    """bf16/f32 tower params → calibrated fused serving tree in one call
+    (quantize → run dynamic tower for activation amax → bake → fuse)."""
+    from gvl_tpu.models.siglip import (
+        calibrate_siglip_int8,
+        quantize_siglip_int8,
+    )
+
+    qparams = quantize_siglip_int8(params)
+    sparams = calibrate_siglip_int8(config, qparams, sample_pixels)
+    return fuse_siglip_int8(sparams, config)

@@ -1,0 +1,328 @@
+"""Fused W8A8 matmul kernels for encoder towers (Pallas, int8 MXU).
+
+Round-4 perf work (VERDICT r3 #1): the v5e MXU runs int8 dots at ~2x the
+bf16 rate (303-500 TOP/s measured at SigLIP tower shapes,
+`scripts/profile_tower.py`), but the XLA-composed W8A8 tower only
+realizes 1.04-1.12x because every quantize / dequantize / LayerNorm /
+GELU between the dots round-trips [M, 4304]-sized activations through
+HBM — the measured per-layer glue (~0.7 ms) exceeds the int8 dots
+themselves (~0.47 ms).  These kernels fuse the glue into the matmuls so
+activations cross HBM exactly once per op, as int8:
+
+- :func:`w8a8_matmul` — ``x_q @ w_q`` on the int8 MXU with the whole
+  epilogue in VMEM: int32 accum → per-channel dequant → bias →
+  {none | +residual | tanh-GELU → requantize}.  The ``gelu_quant``
+  epilogue writes int8 directly (the next layer's input), so the
+  [M, intermediate] activation never exists in bf16/f32.
+- :func:`ln_quant` — LayerNorm (f32 math) fused with static-scale
+  quantization: bf16 in, int8 out, one pass.
+- :func:`quant_static` — plain static-scale quantization (attention
+  output → int8 for the o-projection).
+
+Activation scales are calibrated per layer (static symmetric per-tensor,
+`gvl_tpu.models.siglip.calibrate_siglip_int8`) and passed as SMEM
+scalars so one compiled kernel serves all 27 layers.  Each function has
+an XLA reference implementation (identical integer algebra) used as the
+non-TPU path via ``lax.platform_dependent`` and as test ground truth.
+
+Replaces what the reference gets from torch autocast + cuBLAS
+(`/root/reference/src/perception/siglip_semantic_encoder.py:261-289`)
+with a quantized serving path the reference does not have.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# w8a8 matmul with fused epilogue
+# --------------------------------------------------------------------------
+
+def _w8a8_kernel(s_out_ref, x_ref, w_ref, scale_ref, bias_ref, res_ref,
+                 o_ref, *, epilogue: str):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale_ref[:]
+    if bias_ref is not None:
+        y = y + bias_ref[:]
+    if epilogue == "gelu_quant":
+        y = jax.nn.gelu(y, approximate=True)
+        q = jnp.clip(jnp.round(y * s_out_ref[0]), -127, 127)
+        o_ref[:] = q.astype(jnp.int8)
+    elif epilogue == "residual":
+        o_ref[:] = (y + res_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    else:  # "none"
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def w8a8_matmul_reference(
+    x_q: jax.Array,
+    w_q: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    epilogue: str = "none",
+    out_scale_inv: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """XLA ground truth with the kernel's exact integer algebra."""
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale[None, :]
+    if bias is not None:
+        y = y + bias[None, :]
+    if epilogue == "gelu_quant":
+        y = jax.nn.gelu(y, approximate=True)
+        return jnp.clip(jnp.round(y * out_scale_inv), -127, 127
+                        ).astype(jnp.int8)
+    if epilogue == "residual":
+        return (y + residual.astype(jnp.float32)).astype(out_dtype)
+    return y.astype(out_dtype)
+
+
+def w8a8_matmul_pallas(
+    x_q: jax.Array,
+    w_q: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    epilogue: str = "none",
+    out_scale_inv: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 1024,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x_q [M,K] int8 @ w_q [K,N] int8`` with a fused epilogue.
+
+    M must be a multiple of 32 and K/N multiples of 128 (the caller pads
+    once per tower, not per op).  ``scale`` is the combined per-output-
+    channel dequant scale (act_scale * weight_scale, [N] f32); ``bias``
+    [N] f32.  Epilogues: "none" (out_dtype), "residual" (+residual
+    [M,N], out_dtype), "gelu_quant" (tanh-GELU then requantize by the
+    SMEM scalar ``out_scale_inv`` → int8).
+    """
+    m, k = x_q.shape
+    n = w_q.shape[1]
+    if m % 32 or k % 128 or n % 128:
+        raise ValueError(f"unpadded w8a8 shapes: [{m},{k}]x[{k},{n}]")
+    # Large block_m is the weight-traffic lever: the full W streams from
+    # HBM once per m-block (the x block is constant across the fast j
+    # axis and its DMA is skipped), so fewer/taller m-blocks amortize
+    # weight bandwidth.  block_n only needs to divide n as a lane
+    # multiple — pick the largest such divisor under the cap.
+    block_m = min(block_m, m)
+    while m % block_m:
+        block_m //= 2
+    best_n = 128
+    for cand in range(128, min(block_n, n) + 1, 128):
+        if n % cand == 0:
+            best_n = cand
+    block_n = best_n
+    grid = (m // block_m, n // block_n)
+
+    if epilogue == "gelu_quant":
+        if out_scale_inv is None:
+            raise ValueError("gelu_quant needs out_scale_inv")
+        out_dtype = jnp.int8
+    s_out = jnp.asarray(
+        out_scale_inv if out_scale_inv is not None else 0.0,
+        jnp.float32).reshape(1)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # out_scale_inv (1,)
+        pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
+        pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+    ]
+    args = [s_out, x_q, w_q, scale.reshape(1, n)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j: (0, j)))
+        args.append(bias.reshape(1, n))
+    if epilogue == "residual":
+        if residual is None:
+            raise ValueError("residual epilogue needs residual input")
+        in_specs.append(
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)))
+        args.append(residual)
+
+    def kernel(s_out_ref, x_ref, w_ref, scale_ref, *rest):
+        bias_ref = res_ref = None
+        rest = list(rest)
+        o_ref = rest.pop()
+        if bias is not None:
+            bias_ref = rest.pop(0)
+        if epilogue == "residual":
+            res_ref = rest.pop(0)
+        _w8a8_kernel(s_out_ref, x_ref, w_ref, scale_ref, bias_ref,
+                     res_ref, o_ref, epilogue=epilogue)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def w8a8_matmul(x_q, w_q, scale, bias=None, *, epilogue="none",
+                out_scale_inv=None, residual=None, out_dtype=jnp.bfloat16,
+                block_m: int = 1024, block_n: int = 512):
+    """Platform entry: Pallas on TPU lowerings, XLA reference elsewhere."""
+    operands = [x_q, w_q, scale]
+    sig = ["x", "w", "s"]
+    if bias is not None:
+        operands.append(bias)
+        sig.append("b")
+    if residual is not None:
+        operands.append(residual)
+        sig.append("r")
+
+    def unpack(*ops):
+        d = dict(zip(sig, ops))
+        return (d["x"], d["w"], d["s"], d.get("b"), d.get("r"))
+
+    def tpu_path(*ops):
+        x, w, s, b, r = unpack(*ops)
+        return w8a8_matmul_pallas(
+            x, w, s, b, epilogue=epilogue, out_scale_inv=out_scale_inv,
+            residual=r, out_dtype=out_dtype, block_m=block_m,
+            block_n=block_n)
+
+    def ref_path(*ops):
+        x, w, s, b, r = unpack(*ops)
+        return w8a8_matmul_reference(
+            x, w, s, b, epilogue=epilogue, out_scale_inv=out_scale_inv,
+            residual=r, out_dtype=out_dtype)
+
+    return jax.lax.platform_dependent(
+        *operands, tpu=tpu_path, default=ref_path)
+
+
+# --------------------------------------------------------------------------
+# LayerNorm + quantize
+# --------------------------------------------------------------------------
+
+def _ln_quant_kernel(inv_ref, x_ref, g_ref, b_ref, o_ref, *, eps: float):
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+    o_ref[:] = jnp.clip(jnp.round(y * inv_ref[0]), -127, 127
+                        ).astype(jnp.int8)
+
+
+def ln_quant_reference(x, gamma, beta, inv_scale, *, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * gamma[None, :] + beta[None, :]
+    return jnp.clip(jnp.round(y * inv_scale), -127, 127).astype(jnp.int8)
+
+
+def ln_quant_pallas(x, gamma, beta, inv_scale, *, eps=1e-6,
+                    block_m: int = 512, interpret: bool = False):
+    m, d = x.shape
+    if m % 32 or d % 128:
+        raise ValueError(f"unpadded ln_quant shape [{m},{d}]")
+    block_m = min(block_m, m)
+    while m % block_m:
+        block_m //= 2
+    inv = jnp.asarray(inv_scale, jnp.float32).reshape(1)
+    return pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        grid=(m // block_m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(inv, x, gamma.reshape(1, d), beta.reshape(1, d))
+
+
+def ln_quant(x, gamma, beta, inv_scale, *, eps=1e-6, block_m: int = 512):
+    return jax.lax.platform_dependent(
+        x, gamma, beta,
+        tpu=functools.partial(ln_quant_pallas, inv_scale=inv_scale,
+                              eps=eps, block_m=block_m),
+        default=functools.partial(ln_quant_reference,
+                                  inv_scale=inv_scale, eps=eps),
+    )
+
+
+# --------------------------------------------------------------------------
+# plain static quantize
+# --------------------------------------------------------------------------
+
+def _quant_kernel(inv_ref, x_ref, o_ref):
+    y = x_ref[:].astype(jnp.float32) * inv_ref[0]
+    o_ref[:] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def quant_static_reference(x, inv_scale):
+    y = x.astype(jnp.float32) * inv_scale
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def quant_static_pallas(x, inv_scale, *, block_m: int = 1024,
+                        interpret: bool = False):
+    m, d = x.shape
+    if m % 32 or d % 128:
+        raise ValueError(f"unpadded quant shape [{m},{d}]")
+    block_m = min(block_m, m)
+    while m % block_m:
+        block_m //= 2
+    inv = jnp.asarray(inv_scale, jnp.float32).reshape(1)
+    return pl.pallas_call(
+        _quant_kernel,
+        grid=(m // block_m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(inv, x)
+
+
+def quant_static(x, inv_scale, *, block_m: int = 1024):
+    return jax.lax.platform_dependent(
+        x,
+        tpu=functools.partial(quant_static_pallas, inv_scale=inv_scale,
+                              block_m=block_m),
+        default=functools.partial(quant_static_reference,
+                                  inv_scale=inv_scale),
+    )

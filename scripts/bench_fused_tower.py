@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Measure the Pallas-fused W8A8 SigLIP tower vs bf16 / XLA-int8.
+
+Chain-timed per bench.py methodology.  Also spot-checks that the fused
+output matches the static-act XLA tower (cosine of pooled embeddings)
+on-device, so the speedup is not bought with wrong numerics.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import replace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+
+
+def chain_time(apply_fn, args, reps_pair=(4, 20), iters: int = 3) -> float:
+    out = {}
+    for reps in reps_pair:
+        @jax.jit
+        def runner(*args, reps=reps):
+            def body(carry, _):
+                y = apply_fn(*args[:-1], args[-1] + carry)
+                return (y.mean() * 1e-6).astype(jnp.float32), ()
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                  length=reps)
+            return acc
+
+        float(runner(*args))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(runner(*args))
+            ts.append(time.perf_counter() - t0)
+        out[reps] = min(ts)
+    lo, hi = reps_pair
+    return (out[hi] - out[lo]) / (hi - lo)
+
+
+def main() -> None:
+    from gvl_tpu.models.siglip import (
+        SigLIPVisionConfig,
+        SigLIPVisionTower,
+        calibrate_siglip_int8,
+        quantize_siglip_int8,
+    )
+    from gvl_tpu.models.siglip_fused import (
+        fuse_siglip_int8,
+        siglip_fused_apply,
+    )
+
+    print("backend:", jax.default_backend())
+    cfg = SigLIPVisionConfig.so400m()
+    tower = SigLIPVisionTower(cfg)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(tower.init)(key, jnp.ones((1, 384, 384, 3),
+                                               jnp.bfloat16))
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    pix = jax.random.normal(key, (BATCH, 384, 384, 3), jnp.bfloat16) * 0.5
+
+    # bf16 baseline
+    f_bf = lambda p, x: tower.apply(p, x, pool=True)["pooled"]
+    t = chain_time(f_bf, (params, pix))
+    print(f"tower bf16:        {t * 1e3:7.2f} ms  {BATCH / t:6.1f} img/s")
+
+    # fused
+    qparams = quantize_siglip_int8(params["params"])
+    sparams = calibrate_siglip_int8(cfg, qparams, pix)
+    fused = fuse_siglip_int8(sparams, cfg)
+
+    f_fused = lambda f, x: siglip_fused_apply(f, x, cfg, pool=True)["pooled"]
+    t = chain_time(f_fused, (fused, pix))
+    print(f"tower fused int8:  {t * 1e3:7.2f} ms  {BATCH / t:6.1f} img/s")
+
+    if "--pieces" in sys.argv:
+        _bench_pieces(fused, cfg)
+
+    # numerics check vs the static XLA tower on-device
+    static_tower = SigLIPVisionTower(replace(cfg, quant_int8=True,
+                                             quant_static_act=True))
+    want = jax.jit(lambda p, x: static_tower.apply(
+        {"params": p}, x, pool=True)["pooled"])(sparams, pix)
+    got = jax.jit(f_fused)(fused, pix)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    cos = (w * g).sum(-1) / (np.linalg.norm(w, axis=-1)
+                             * np.linalg.norm(g, axis=-1) + 1e-9)
+    print(f"pooled cosine fused-vs-static-XLA: min {cos.min():.5f} "
+          f"mean {cos.mean():.5f}")
+
+    bf = jax.jit(f_bf)(params, pix)
+    b = np.asarray(bf, np.float32)
+    cos_bf = (b * g).sum(-1) / (np.linalg.norm(b, axis=-1)
+                                * np.linalg.norm(g, axis=-1) + 1e-9)
+    print(f"pooled cosine fused-vs-bf16:       min {cos_bf.min():.5f} "
+          f"mean {cos_bf.mean():.5f}")
+
+
+def _bench_pieces(fused: dict, cfg) -> None:
+    """Chain-time each sub-op of one fused layer at tower shapes."""
+    from gvl_tpu.models.siglip_fused import ROW_PAD, _round_up
+    from gvl_tpu.ops.attention import dot_product_attention
+    from gvl_tpu.ops.quant_matmul import ln_quant, quant_static, w8a8_matmul
+
+    lp = fused["layers"][0]
+    b, s, d = BATCH, (384 // cfg.patch_size) ** 2, cfg.hidden_size
+    m = b * s
+    mp = _round_up(m, ROW_PAD)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(mp, d)), jnp.bfloat16)
+    xq = jnp.asarray(rng.integers(-127, 128, (mp, d)), jnp.int8)
+    hq = jnp.asarray(rng.integers(-127, 128, (mp, lp["w1"].shape[1])),
+                     jnp.int8)
+    qh = jnp.asarray(rng.normal(size=(b, cfg.num_heads, s,
+                                      d // cfg.num_heads)), jnp.bfloat16)
+
+    # chain_time folds the loop carry into the LAST positional arg, so
+    # each piece is a plain function of its operands
+    pieces = {
+        "ln_quant [Mp,D]": (
+            lambda a: ln_quant(a.astype(jnp.bfloat16), lp["ln1_g"], lp["ln1_b"], lp["ln1_inv"])
+            .astype(jnp.float32).mean(), (h,)),
+        "w8a8 qkv": (
+            lambda a: w8a8_matmul(a.astype(jnp.int8), lp["w_qkv"],
+                                  lp["s_qkv"], lp["b_qkv"]).mean(),
+            (xq,)),
+        "w8a8 o+residual": (
+            lambda a, r: w8a8_matmul(
+                a.astype(jnp.int8), lp["w_o"], lp["s_o"], lp["b_o"],
+                epilogue="residual", residual=r.astype(jnp.bfloat16)
+            ).mean(), (xq, h)),
+        "w8a8 fc1 gelu_quant": (
+            lambda a: w8a8_matmul(
+                a.astype(jnp.int8), lp["w1"], lp["s1"], lp["b1"],
+                epilogue="gelu_quant", out_scale_inv=lp["gelu_inv"])
+            .astype(jnp.float32).mean(), (xq,)),
+        "w8a8 fc2+residual": (
+            lambda a, r: w8a8_matmul(
+                a.astype(jnp.int8), lp["w2"], lp["s2"], lp["b2"],
+                epilogue="residual", residual=r.astype(jnp.bfloat16)
+            ).mean(), (hq, h)),
+        "quant_static [Mp,D]": (
+            lambda a: quant_static(a.astype(jnp.bfloat16), lp["attn_inv"])
+            .astype(jnp.float32).mean(), (h,)),
+        "attention": (
+            lambda a: dot_product_attention(*([a.astype(jnp.bfloat16)] * 3)).mean(), (qh,)),
+        "pad+slice pair": (
+            lambda a: jnp.pad(a.astype(jnp.bfloat16)[:m], ((0, mp - m), (0, 0))).mean(), (h,)),
+    }
+    total = 0.0
+    for name, (fn, args) in pieces.items():
+        t = chain_time(fn, args, reps_pair=(8, 40))
+        total += t
+        print(f"  {name:24s} {t * 1e3:7.3f} ms")
+    print(f"  additive layer total     {total * 1e3:7.3f} ms x 27 = "
+          f"{total * 27 * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

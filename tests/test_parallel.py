@@ -269,3 +269,61 @@ class TestInitDistributed:
                     "MEGASCALE_COORDINATOR_ADDRESS"):
             monkeypatch.delenv(var, raising=False)
         assert init_distributed() is False  # no coordinator: no-op
+
+
+class TestCacheShardingPreserved:
+    """VERDICT r3 #6: the KV cache's explicit NamedSharding must survive
+    a decode step (no GSPMD involuntary rematerialization of the cache —
+    the sharding is pinned via Qwen3Engine out_shardings)."""
+
+    def test_stacked_cache_sharding_through_decode_step(self):
+        from gvl_tpu.models.qwen3 import (
+            KVCache,
+            Qwen3Config,
+            Qwen3Engine,
+            Qwen3Model,
+        )
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        mesh = build_mesh(1, 4)
+        cfg = Qwen3Config.tiny(num_heads=8, num_kv_heads=8, head_dim=16,
+                               scan_layers=True, max_cache_length=64)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        engine = Qwen3Engine(cfg, {"params": shard_pytree(
+            params, mesh, LLM_RULES)}, eos_token_id=-1,
+            dtype=jnp.float32, mesh=mesh)
+
+        want = engine._cache_sharding()
+        assert "model" in str(want.spec)
+        cache = engine._shard_cache(
+            KVCache.zeros(cfg, batch=1, dtype=jnp.float32))
+        assert cache.k.sharding.is_equivalent_to(want, cache.k.ndim)
+
+        step = engine._step_fn((0.0, 1.0, 1))
+        token = jnp.zeros((1,), jnp.int32)
+        _, new_cache = step(engine.variables, token, cache,
+                            jax.random.PRNGKey(0))
+        assert new_cache.k.sharding.is_equivalent_to(want, new_cache.k.ndim)
+        assert new_cache.v.sharding.is_equivalent_to(want, new_cache.v.ndim)
+
+    def test_tp_decode_matches_unsharded_with_mesh(self):
+        from gvl_tpu.models.qwen3 import Qwen3Config, Qwen3Engine, Qwen3Model
+        from gvl_tpu.parallel import build_mesh
+        from gvl_tpu.parallel.sharding import LLM_RULES, shard_pytree
+
+        cfg = Qwen3Config.tiny(num_heads=8, num_kv_heads=8, head_dim=16)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        ref = Qwen3Engine(cfg, {"params": params}, eos_token_id=-1,
+                          dtype=jnp.float32)
+        expected = ref.generate([5, 9, 2], max_new_tokens=5, temperature=0.0)
+        mesh = build_mesh(2, 4)
+        tp = Qwen3Engine(cfg, {"params": shard_pytree(params, mesh,
+                                                      LLM_RULES)},
+                         eos_token_id=-1, dtype=jnp.float32, mesh=mesh)
+        assert tp.generate([5, 9, 2], max_new_tokens=5,
+                           temperature=0.0) == expected
