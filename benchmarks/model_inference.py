@@ -108,13 +108,21 @@ class FullPipelineRunner:
         eval_config: Optional[EvalModelConfig] = None,
         preset: str = "light",
         use_cache: bool = True,
+        perception_cache=None,
     ):
+        """``perception_cache``: a :class:`~benchmarks.perception_cache.
+        PerceptionCache` (already namespaced per ablation arm).  On hit,
+        Stage B rebuilds the live pipeline from the persisted artifacts
+        instead of re-running perception — the two-stage split works
+        across processes, not just via in-process memoization
+        (VERDICT r3 #5)."""
         from gvl_tpu.config import load_preset
 
         self.eval_config = eval_config or get_model_config("gvp_light")
         self.preset = load_preset(preset)
         self._apply_eval_toggles()
         self.use_cache = use_cache
+        self.perception_cache = perception_cache
         self._processed: dict[str, object] = {}
 
     def _apply_eval_toggles(self) -> None:
@@ -140,11 +148,37 @@ class FullPipelineRunner:
 
     def _get_processed(self, video_path: str):
         if video_path not in self._processed:
-            from scripts.realtime_inference import process_video
-
-            self._processed[video_path] = process_video(
-                video_path, self.preset, use_cache=self.use_cache,
+            from scripts.realtime_inference import (
+                process_video,
+                processed_from_features,
             )
+
+            processed = None
+            if self.perception_cache is not None:
+                from benchmarks.perception_cache import (
+                    load_processed_features,
+                )
+
+                features = load_processed_features(
+                    self.perception_cache, video_path)
+                if features is not None:
+                    logger.info("perception-cache hit for %s", video_path)
+                    processed = processed_from_features(
+                        video_path, self.preset, features)
+            if processed is None:
+                processed = process_video(
+                    video_path, self.preset, use_cache=self.use_cache,
+                )
+                if self.perception_cache is not None:
+                    from benchmarks.perception_cache import (
+                        save_processed_features,
+                    )
+                    from scripts.realtime_inference import _to_cache_dict
+
+                    save_processed_features(
+                        self.perception_cache, video_path,
+                        _to_cache_dict(processed))
+            self._processed[video_path] = processed
         return self._processed[video_path]
 
     def run_inference(self, sample: BenchmarkSample) -> dict:

@@ -41,19 +41,33 @@ class PhaseEvaluator:
         self.tracker = tracker or create_metrics_tracker(output_dir)
         self.preset = preset
 
-    def run_perception_caching(self, loader: BenchmarkLoader) -> int:
-        """Stage A: warm the perception cache for each unique video."""
+    def _arm_cache(self, config_name: str) -> PerceptionCache:
+        """Per-arm namespace: arms differ in which perception runs, so an
+        artifact written with the segmenter ON must never serve an arm
+        that has it off (capability transplant would invalidate the
+        ablation)."""
+        return PerceptionCache(self.cache.cache_dir / config_name)
+
+    def run_perception_caching(self, loader: BenchmarkLoader,
+                               runner: FullPipelineRunner,
+                               config_name: str) -> int:
+        """Stage A: run perception once per unique video and persist the
+        REAL artifacts (embeddings npz + timeline/kb/ocr/audio JSON, the
+        pinned schema) so Stage B — in this or any later process — pays
+        ~zero perception time (VERDICT r3 #5)."""
         videos = {s.video_path for s in loader.load() if s.video_path}
+        arm_cache = runner.perception_cache or self._arm_cache(config_name)
         cached = 0
         for video in sorted(videos):
-            if self.cache.has(video):
+            if arm_cache.has(video):
                 continue
-            self.cache.save(video, artifacts={"stage_a": {
-                "video": video, "phase": self.phase_name,
-                "cached_at": time.time(),
-            }})
+            t0 = time.time()
+            runner._get_processed(str(video))  # runs + persists artifacts
+            logger.info("Stage A: %s perception %.1fs", video,
+                        time.time() - t0)
             cached += 1
-        logger.info("Stage A: %d/%d videos cached", cached, len(videos))
+        logger.info("Stage A [%s]: %d/%d videos newly cached",
+                    config_name, cached, len(videos))
         return cached
 
     def evaluate_sample(self, runner: FullPipelineRunner, sample,
@@ -86,11 +100,12 @@ class PhaseEvaluator:
             logger.warning("%s: no samples for %s", self.phase_name,
                            loader.name)
             return
-        self.run_perception_caching(loader)
         for config_name in self.config_names:
             runner = FullPipelineRunner(
                 get_model_config(config_name), preset=self.preset,
+                perception_cache=self._arm_cache(config_name),
             )
+            self.run_perception_caching(loader, runner, config_name)
             for i, sample in enumerate(samples):
                 metrics = self.evaluate_sample(runner, sample, config_name)
                 logger.info(

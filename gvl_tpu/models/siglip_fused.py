@@ -39,17 +39,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from gvl_tpu.models.siglip import MAPHead, SigLIPVisionConfig
-from gvl_tpu.ops.attention import dot_product_attention
-from gvl_tpu.ops.quant_matmul import ln_quant, quant_static, w8a8_matmul
+from gvl_tpu.ops.quant_matmul import (
+    attention_fused_qkv,
+    ln_quant,
+    quant_static,
+    w8a8_matmul,
+)
 
-# Residual-stream rows padded to this multiple, once per tower.  512
-# keeps the matmul kernels' m-blocks tall (weight HBM traffic scales
-# with m/block_m) while bounding pad waste for small region buckets.
-ROW_PAD = 512
+# Per-batch sequence pad multiple.  The residual stream runs as
+# [B·Sp, D] with Sp = round_up(S, SEQ_PAD): per-batch padding keeps
+# q/k/v blocks of one image contiguous for the fused-QKV attention
+# kernel (no [B,H,S,D] transposes ever materialize), and the multiple
+# keeps B·Sp tall-block friendly for the matmul kernels.
+SEQ_PAD = 64
+
+# Per-head lanes in the fused QKV/attention layout.  Head dim 72 is not
+# a lane multiple, and Mosaic's DMA cannot slice unaligned minor-dim
+# windows, so the QKV projection emits each head padded to 128 lanes via
+# zero weight columns — ~78% extra FLOPs on the cheap QKV dot, bought
+# back by never materializing a transpose/pad/slice of the activations.
+DH_PAD = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pad_head_cols(kernel_q, scale, bias, num_heads: int):
+    """[D, H·dh] weight (+[H·dh] vecs) → head-dim-padded [D, H·DH_PAD].
+
+    Zero weight columns in the pad lanes make the projection EMIT the
+    padded layout, so no activation pad op ever runs."""
+    d, hd = kernel_q.shape
+    dh = hd // num_heads
+    pad = DH_PAD - dh
+
+    def pad_vec(v):
+        v = v.reshape(num_heads, dh)
+        return jnp.pad(v, ((0, 0), (0, pad))).reshape(-1)
+
+    w = kernel_q.reshape(d, num_heads, dh)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, pad))).reshape(d, -1)
+    return w, pad_vec(scale), pad_vec(bias)
 
 
 def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
@@ -66,6 +97,8 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
     dip = _round_up(di, 128)
     f32 = lambda a: jnp.asarray(a, jnp.float32)
 
+    n_heads = config.num_heads
+    dh = d // n_heads
     layers = []
     for i in range(config.num_layers):
         lp = params[f"layers_{i}"]
@@ -74,17 +107,23 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
         act_in = f32(at["q_proj"]["act_scale"])
         o, fc1, fc2 = at["o_proj"], mlp["fc1"], mlp["fc2"]
         pad = dip - di
+        parts = [
+            _pad_head_cols(at[k]["kernel_q"], f32(at[k]["scale"]),
+                           f32(at[k]["bias"]), n_heads)
+            for k in names
+        ]
+        # o-projection ingests the padded layout via zero weight ROWS
+        w_o = o["kernel_q"].reshape(n_heads, dh, d)
+        w_o = jnp.pad(w_o, ((0, 0), (0, DH_PAD - dh), (0, 0)))
         layers.append({
             "ln1_g": f32(lp["LayerNorm_0"]["scale"]),
             "ln1_b": f32(lp["LayerNorm_0"]["bias"]),
             "ln1_inv": 1.0 / act_in,
-            "w_qkv": jnp.concatenate(
-                [at[k]["kernel_q"] for k in names], axis=1),
-            "s_qkv": act_in * jnp.concatenate(
-                [f32(at[k]["scale"]) for k in names]),
-            "b_qkv": jnp.concatenate([f32(at[k]["bias"]) for k in names]),
+            "w_qkv": jnp.concatenate([p[0] for p in parts], axis=1),
+            "s_qkv": act_in * jnp.concatenate([p[1] for p in parts]),
+            "b_qkv": jnp.concatenate([p[2] for p in parts]),
             "attn_inv": 1.0 / f32(o["act_scale"]),
-            "w_o": o["kernel_q"],
+            "w_o": w_o.reshape(n_heads * DH_PAD, d),
             "s_o": f32(o["act_scale"]) * f32(o["scale"]),
             "b_o": f32(o["bias"]),
             "ln2_g": f32(lp["LayerNorm_1"]["scale"]),
@@ -113,35 +152,40 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
 
 
 def _fused_layer(h: jax.Array, lp: dict, config: SigLIPVisionConfig,
-                 batch: int, seq: int, m: int) -> jax.Array:
-    """One encoder layer over the row-padded [Mp, D] residual stream."""
+                 batch: int, seq_pad: int, seq: int,
+                 int8_attention: bool = False) -> jax.Array:
+    """One encoder layer over the [B·Sp, D] residual stream."""
     d = config.hidden_size
     n_heads = config.num_heads
-    d_head = d // n_heads
-    mp = h.shape[0]
     eps = config.layer_norm_eps
+    sm_scale = 1.0 / float(np.sqrt(d // n_heads))
 
+    # per-op block sizes from the on-chip sweep (scripts/
+    # sweep_w8a8_blocks.py, v5e tower shapes)
     xq = ln_quant(h, lp["ln1_g"], lp["ln1_b"], lp["ln1_inv"], eps=eps)
-    qkv = w8a8_matmul(xq, lp["w_qkv"], lp["s_qkv"], lp["b_qkv"])
-    qkv = qkv[:m].reshape(batch, seq, 3, n_heads, d_head)
-    q, k, v = (qkv[:, :, j].swapaxes(1, 2) for j in range(3))
-    attn = dot_product_attention(q, k, v)
-    attn = attn.swapaxes(1, 2).reshape(m, d)
-    attn = jnp.pad(attn, ((0, mp - m), (0, 0)))
+    qkv = w8a8_matmul(xq, lp["w_qkv"], lp["s_qkv"], lp["b_qkv"],
+                      block_m=3072, block_n=256)
+    attn = attention_fused_qkv(
+        qkv, batch=batch, seq_pad=seq_pad, kv_len=seq,
+        num_heads=n_heads, dh_pad=DH_PAD, sm_scale=sm_scale,
+        int8_scores=int8_attention)
     aq = quant_static(attn, lp["attn_inv"])
     h = w8a8_matmul(aq, lp["w_o"], lp["s_o"], lp["b_o"],
-                    epilogue="residual", residual=h)
+                    epilogue="residual", residual=h,
+                    block_m=1024, block_n=384)
 
     yq = ln_quant(h, lp["ln2_g"], lp["ln2_b"], lp["ln2_inv"], eps=eps)
     hq = w8a8_matmul(yq, lp["w1"], lp["s1"], lp["b1"],
-                     epilogue="gelu_quant", out_scale_inv=lp["gelu_inv"])
+                     epilogue="gelu_quant", out_scale_inv=lp["gelu_inv"],
+                     block_m=512, block_n=256)
     return w8a8_matmul(hq, lp["w2"], lp["s2"], lp["b2"],
-                       epilogue="residual", residual=h)
+                       epilogue="residual", residual=h,
+                       block_m=512, block_n=384)
 
 
 def siglip_fused_apply(
     fused: dict, pixels: jax.Array, config: SigLIPVisionConfig,
-    *, pool: bool = True,
+    *, pool: bool = True, int8_attention: bool = False,
 ) -> dict[str, jax.Array]:
     """Forward pass with the ``SigLIPVisionTower`` output contract."""
     cfg = config
@@ -164,12 +208,13 @@ def siglip_fused_apply(
     x = x + pos[None]
 
     seq, d = x.shape[1], cfg.hidden_size
-    m = b * seq
-    mp = _round_up(m, ROW_PAD)
-    h = jnp.pad(x.reshape(m, d), ((0, mp - m), (0, 0)))
+    seq_pad = _round_up(seq, SEQ_PAD)
+    h = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
+    h = h.reshape(b * seq_pad, d)
     for lp in fused["layers"]:
-        h = _fused_layer(h, lp, cfg, b, seq, m)
-    x = h[:m].reshape(b, seq, d)
+        h = _fused_layer(h, lp, cfg, b, seq_pad, seq,
+                         int8_attention=int8_attention)
+    x = h.reshape(b, seq_pad, d)[:, :seq]
 
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)

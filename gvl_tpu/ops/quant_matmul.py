@@ -58,7 +58,10 @@ def _w8a8_kernel(s_out_ref, x_ref, w_ref, scale_ref, bias_ref, res_ref,
     if bias_ref is not None:
         y = y + bias_ref[:]
     if epilogue == "gelu_quant":
-        y = jax.nn.gelu(y, approximate=True)
+        # tanh-GELU on bf16: half the VPU element ops; the requantize to
+        # 7 bits below makes bf16 mantissa loss irrelevant
+        y = jax.nn.gelu(y.astype(jnp.bfloat16),
+                        approximate=True).astype(jnp.float32)
         q = jnp.clip(jnp.round(y * s_out_ref[0]), -127, 127)
         o_ref[:] = q.astype(jnp.int8)
     elif epilogue == "residual":
@@ -86,7 +89,8 @@ def w8a8_matmul_reference(
     if bias is not None:
         y = y + bias[None, :]
     if epilogue == "gelu_quant":
-        y = jax.nn.gelu(y, approximate=True)
+        y = jax.nn.gelu(y.astype(jnp.bfloat16),
+                        approximate=True).astype(jnp.float32)
         return jnp.clip(jnp.round(y * out_scale_inv), -127, 127
                         ).astype(jnp.int8)
     if epilogue == "residual":
@@ -217,6 +221,273 @@ def w8a8_matmul(x_q, w_q, scale, bias=None, *, epilogue="none",
 
     return jax.lax.platform_dependent(
         *operands, tpu=tpu_path, default=ref_path)
+
+
+# --------------------------------------------------------------------------
+# attention straight off the packed [M, 3·H·dh] QKV projection output
+# --------------------------------------------------------------------------
+#
+# The encoder's attention input/output transposes are the hidden cost of
+# the [B,H,S,D] kernel layout: [M, 3D] → reshape → swapaxes → pad(72→128)
+# costs ~0.5 ms/layer at tower shapes (measured, scripts/
+# bench_fused_tower.py --pieces).  Emitting the projection head-dim-
+# padded instead wastes 78% of the QKV matmul on zero columns (dh 72 →
+# 128; measured +0.22 ms/layer).  This kernel takes the UNPADDED packed
+# buffer and does the padding itself: each (batch, head) program DMAs
+# its three (Sp, dh) slabs from HBM into lane-padded VMEM scratch
+# (strided descriptors are free to the DMA engine), computes plain
+# softmax attention there, and DMAs the (Sp, dh) output slab back — no
+# transpose, pad, or slice ever materializes in HBM and the adjacent
+# matmuls keep their unpadded shapes.
+
+def _packed_attn_kernel(qkv_ref, o_ref, q_s, k_s, v_s, o_s, sems, *,
+                        sm_scale: float, kv_len: int, seq_pad: int,
+                        num_heads: int, head_dim: int):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    row0 = b * seq_pad
+    hd = num_heads * head_dim
+    dh = head_dim
+
+    # zero q/k pad lanes (disjoint from the DMA'd [:, :dh] region):
+    # uninitialized scratch can hold NaN bit patterns and NaN*0 = NaN,
+    # so BOTH contraction operands' pads must be zero for exact scores.
+    # v's pads only pollute output pad lanes, which are never copied out.
+    if dh < k_s.shape[1]:
+        q_s[:, dh:] = jnp.zeros_like(q_s[:, dh:])
+        k_s[:, dh:] = jnp.zeros_like(k_s[:, dh:])
+
+    copies = []
+    for i, scratch in enumerate((q_s, k_s, v_s)):
+        dma = pltpu.make_async_copy(
+            qkv_ref.at[pl.ds(row0, seq_pad), pl.ds(i * hd + h * dh, dh)],
+            scratch.at[:, :dh],
+            sems.at[i],
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+    s = jax.lax.dot_general(
+        q_s[:], k_s[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    if kv_len != seq_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    out = jax.lax.dot_general(
+        p.astype(v_s.dtype), v_s[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_s[:] = (out / denom).astype(o_s.dtype)
+
+    dma_out = pltpu.make_async_copy(
+        o_s.at[:, :dh],
+        o_ref.at[pl.ds(row0, seq_pad), pl.ds(h * dh, dh)],
+        sems.at[3],
+    )
+    dma_out.start()
+    dma_out.wait()
+
+
+def attention_qkv_packed_reference(qkv, *, batch, seq_pad, kv_len,
+                                   num_heads, head_dim, sm_scale):
+    """XLA ground truth: unpack → masked attention → repack."""
+    from gvl_tpu.ops.attention import attention_reference
+
+    hd = num_heads * head_dim
+    parts = [
+        qkv[:, i * hd:(i + 1) * hd]
+        .reshape(batch, seq_pad, num_heads, head_dim).transpose(0, 2, 1, 3)
+        for i in range(3)
+    ]
+    out = attention_reference(*parts, kv_len=kv_len, sm_scale=sm_scale)
+    return out.transpose(0, 2, 1, 3).reshape(batch * seq_pad, hd)
+
+
+def attention_qkv_packed_pallas(qkv, *, batch, seq_pad, kv_len, num_heads,
+                                head_dim, sm_scale,
+                                interpret: bool = False):
+    """``qkv [B·Sp, 3·H·dh]`` → attention output ``[B·Sp, H·dh]``.
+
+    Sp must be a 16-multiple ≲ 2048 (all keys of one (batch, head) ride
+    one VMEM block — the encoder regime; the generic flash path covers
+    longer sequences).  Keys beyond ``kv_len`` per batch are masked;
+    query rows beyond it produce garbage the caller slices off.
+    """
+    m, width = qkv.shape
+    if m != batch * seq_pad or width != 3 * num_heads * head_dim:
+        raise ValueError(f"qkv shape {qkv.shape} inconsistent with "
+                         f"B={batch} Sp={seq_pad} H={num_heads} "
+                         f"dh={head_dim}")
+    if seq_pad % 16:
+        raise ValueError(f"unaligned Sp={seq_pad}")
+    dh_pad = _round_up(head_dim, 128)
+
+    kernel = functools.partial(
+        _packed_attn_kernel, sm_scale=sm_scale, kv_len=kv_len,
+        seq_pad=seq_pad, num_heads=num_heads, head_dim=head_dim)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, num_heads),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((m, num_heads * head_dim),
+                                       qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((seq_pad, dh_pad), qkv.dtype),  # q
+            pltpu.VMEM((seq_pad, dh_pad), qkv.dtype),  # k
+            pltpu.VMEM((seq_pad, dh_pad), qkv.dtype),  # v
+            pltpu.VMEM((seq_pad, dh_pad), qkv.dtype),  # out
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+def attention_qkv_packed(qkv, *, batch, seq_pad, kv_len, num_heads,
+                         head_dim, sm_scale):
+    """NOTE: the Mosaic DMA engine requires minor-dim slices aligned to
+    the 128-lane tiling, so the TPU path only lowers when head_dim is a
+    lane multiple; the head-dim-padded :func:`attention_fused_qkv` is
+    the general-case kernel (dh=72 towers)."""
+    if head_dim % 128:
+        raise ValueError(
+            f"head_dim={head_dim} is not lane-aligned; use the padded "
+            "layout (attention_fused_qkv)")
+    kw = dict(batch=batch, seq_pad=seq_pad, kv_len=kv_len,
+              num_heads=num_heads, head_dim=head_dim, sm_scale=sm_scale)
+    return jax.lax.platform_dependent(
+        qkv,
+        tpu=functools.partial(attention_qkv_packed_pallas, **kw),
+        default=functools.partial(attention_qkv_packed_reference, **kw),
+    )
+
+
+# ---- head-dim-PADDED fused-QKV attention (the general encoder path):
+# the QKV projection emits [B·Sp, 3·H·dh_pad] via zero weight columns
+# (trading ~78% extra FLOPs on the cheap QKV dot for zero transposes),
+# and this kernel indexes (BQ, dh_pad) blocks straight out of it.
+
+def _padded_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                        kv_len: int, seq_pad: int, int8_scores: bool):
+    q = q_ref[:]                      # (BQ, dh_pad)
+    k = k_ref[:]                      # (Sp, dh_pad)
+    v = v_ref[:]                      # (Sp, dh_pad)
+
+    def quant_block(x):
+        amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+        inv = 127.0 / amax
+        q8 = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                      -127, 127).astype(jnp.int8)
+        return q8, amax / 127.0
+
+    if int8_scores:
+        # dynamic per-block symmetric int8: the operands are already in
+        # VMEM, so the quantize is a local VPU pass and both attention
+        # dots run at the MXU's 2x int8 rate
+        q8, sq = quant_block(q)
+        k8, sk = quant_block(k)
+        s = jax.lax.dot_general(
+            q8, k8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (sq * sk * sm_scale)
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+    if kv_len != seq_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    if int8_scores:
+        # p in [0, 1]: fixed 127 quantization; v dynamic per block
+        p8 = jnp.round(p * 127.0).astype(jnp.int8)
+        v8, sv = quant_block(v)
+        out = jax.lax.dot_general(
+            p8, v8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (sv / 127.0)
+    else:
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[:] = (out / denom).astype(o_ref.dtype)
+
+
+def attention_fused_qkv_reference(qkv, *, batch, seq_pad, kv_len,
+                                  num_heads, dh_pad, sm_scale):
+    return attention_qkv_packed_reference(
+        qkv, batch=batch, seq_pad=seq_pad, kv_len=kv_len,
+        num_heads=num_heads, head_dim=dh_pad, sm_scale=sm_scale)
+
+
+def attention_fused_qkv_pallas(qkv, *, batch, seq_pad, kv_len, num_heads,
+                               dh_pad, sm_scale, int8_scores: bool = False,
+                               block_q: int = 1024,
+                               interpret: bool = False):
+    """``qkv [B·Sp, 3·H·dh_pad]`` → attention output ``[B·Sp, H·dh_pad]``."""
+    m, width = qkv.shape
+    if m != batch * seq_pad or width != 3 * num_heads * dh_pad:
+        raise ValueError(f"qkv shape {qkv.shape} inconsistent with "
+                         f"B={batch} Sp={seq_pad} H={num_heads} "
+                         f"dhp={dh_pad}")
+    if seq_pad % 16 or dh_pad % 128:
+        raise ValueError(f"unaligned Sp={seq_pad} / dh_pad={dh_pad}")
+    bq = min(block_q, seq_pad)
+    while seq_pad % bq:
+        bq //= 2
+    nq = seq_pad // bq
+    h = num_heads
+
+    kernel = functools.partial(
+        _padded_attn_kernel, sm_scale=sm_scale, kv_len=kv_len,
+        seq_pad=seq_pad, int8_scores=int8_scores)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, h, nq),
+        in_specs=[
+            pl.BlockSpec((bq, dh_pad),
+                         lambda b, hh, iq, _nq=nq: (b * _nq + iq, hh)),
+            pl.BlockSpec((seq_pad, dh_pad),
+                         lambda b, hh, iq, _h=h: (b, _h + hh)),
+            pl.BlockSpec((seq_pad, dh_pad),
+                         lambda b, hh, iq, _h=h: (b, 2 * _h + hh)),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, dh_pad), lambda b, hh, iq, _nq=nq: (b * _nq + iq, hh)),
+        out_shape=jax.ShapeDtypeStruct((m, h * dh_pad), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+def attention_fused_qkv(qkv, *, batch, seq_pad, kv_len, num_heads,
+                        dh_pad, sm_scale, int8_scores: bool = False):
+    """``int8_scores``: quantize q/k/v/p per block inside the kernel so
+    both attention dots ride the int8 MXU (2x).  Accuracy-neutral at the
+    tower level (pooled cosine vs bf16 unchanged) but measured a net
+    LOSS at encoder shapes on v5e (33.3 -> 34.5 ms tower: the in-kernel
+    quantize VPU passes cost more than the MXU saves), so OFF by
+    default — kept for wider-head or longer-sequence regimes."""
+    kw = dict(batch=batch, seq_pad=seq_pad, kv_len=kv_len,
+              num_heads=num_heads, dh_pad=dh_pad, sm_scale=sm_scale,
+              int8_scores=int8_scores)
+    ref_kw = {k: v for k, v in kw.items() if k != "int8_scores"}
+    return jax.lax.platform_dependent(
+        qkv,
+        tpu=functools.partial(attention_fused_qkv_pallas, **kw),
+        default=functools.partial(attention_fused_qkv_reference, **ref_kw),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -28,7 +28,11 @@ def chain_time(apply_fn, args, reps_pair=(4, 20), iters: int = 3) -> float:
         @jax.jit
         def runner(*args, reps=reps):
             def body(carry, _):
-                y = apply_fn(*args[:-1], args[-1] + carry)
+                # cast the carry to the operand dtype: f32 + bf16
+                # promotes to f32 and would silently benchmark an
+                # f32 tower (half MXU rate)
+                y = apply_fn(*args[:-1],
+                             args[-1] + carry.astype(args[-1].dtype))
                 return (y.mean() * 1e-6).astype(jnp.float32), ()
 
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
@@ -107,21 +111,26 @@ def main() -> None:
 
 def _bench_pieces(fused: dict, cfg) -> None:
     """Chain-time each sub-op of one fused layer at tower shapes."""
-    from gvl_tpu.models.siglip_fused import ROW_PAD, _round_up
-    from gvl_tpu.ops.attention import dot_product_attention
-    from gvl_tpu.ops.quant_matmul import ln_quant, quant_static, w8a8_matmul
+    from gvl_tpu.models.siglip_fused import DH_PAD, SEQ_PAD, _round_up
+    from gvl_tpu.ops.quant_matmul import (
+        attention_fused_qkv,
+        ln_quant,
+        quant_static,
+        w8a8_matmul,
+    )
 
     lp = fused["layers"][0]
     b, s, d = BATCH, (384 // cfg.patch_size) ** 2, cfg.hidden_size
-    m = b * s
-    mp = _round_up(m, ROW_PAD)
+    sp = _round_up(s, SEQ_PAD)
+    mp = b * sp
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.normal(size=(mp, d)), jnp.bfloat16)
     xq = jnp.asarray(rng.integers(-127, 128, (mp, d)), jnp.int8)
     hq = jnp.asarray(rng.integers(-127, 128, (mp, lp["w1"].shape[1])),
                      jnp.int8)
-    qh = jnp.asarray(rng.normal(size=(b, cfg.num_heads, s,
-                                      d // cfg.num_heads)), jnp.bfloat16)
+    qkvb = jnp.asarray(
+        rng.normal(size=(mp, 3 * cfg.num_heads * DH_PAD)), jnp.bfloat16)
+    sm = 1.0 / float(np.sqrt(d // cfg.num_heads))
 
     # chain_time folds the loop carry into the LAST positional arg, so
     # each piece is a plain function of its operands
@@ -137,7 +146,10 @@ def _bench_pieces(fused: dict, cfg) -> None:
             lambda a, r: w8a8_matmul(
                 a.astype(jnp.int8), lp["w_o"], lp["s_o"], lp["b_o"],
                 epilogue="residual", residual=r.astype(jnp.bfloat16)
-            ).mean(), (xq, h)),
+            ).mean(),
+            (jnp.asarray(rng.integers(-127, 128,
+                                      (mp, lp["w_o"].shape[0])), jnp.int8),
+             h)),
         "w8a8 fc1 gelu_quant": (
             lambda a: w8a8_matmul(
                 a.astype(jnp.int8), lp["w1"], lp["s1"], lp["b1"],
@@ -151,10 +163,11 @@ def _bench_pieces(fused: dict, cfg) -> None:
         "quant_static [Mp,D]": (
             lambda a: quant_static(a.astype(jnp.bfloat16), lp["attn_inv"])
             .astype(jnp.float32).mean(), (h,)),
-        "attention": (
-            lambda a: dot_product_attention(*([a.astype(jnp.bfloat16)] * 3)).mean(), (qh,)),
-        "pad+slice pair": (
-            lambda a: jnp.pad(a.astype(jnp.bfloat16)[:m], ((0, mp - m), (0, 0))).mean(), (h,)),
+        "attention fused-qkv": (
+            lambda a: attention_fused_qkv(
+                a.astype(jnp.bfloat16), batch=b, seq_pad=sp, kv_len=s,
+                num_heads=cfg.num_heads, dh_pad=DH_PAD,
+                sm_scale=sm).mean(), (qkvb,)),
     }
     total = 0.0
     for name, (fn, args) in pieces.items():

@@ -336,6 +336,18 @@ def process_video(
                                                   kb, concepts)
             else:
                 segmenter = _make_segmenter(config)
+                if config.perception.use_siglip:
+                    # segmenter-free grounding: zero-shot mini-SigLIP
+                    # window labels → VISUAL events (the gvp_light arm
+                    # otherwise has no entity events and every visual
+                    # question falls to chance; VERDICT r3 #4)
+                    from gvl_tpu.perception.frame_labeler import (
+                        emit_zero_shot_labels,
+                    )
+
+                    with timer.stage("zero_shot_labels"):
+                        emit_zero_shot_labels(frames, config, timeline,
+                                              concepts=concepts)
 
             if config.perception.use_siglip:
                 with timer.stage("siglip_embeddings"):
@@ -366,6 +378,29 @@ def process_video(
             with timer.stage("cache_save"):
                 cache.save_features(video_path, _to_cache_dict(result))
 
+    _finalize_processed(result, config, timer)
+    print(timer.report())
+    return result
+
+
+def processed_from_features(video_path: str, config: SystemConfig,
+                            features: dict) -> ProcessedVideo:
+    """Build a live :class:`ProcessedVideo` (incl. the reasoning loop)
+    from a previously persisted feature dict (the ``_to_cache_dict``
+    layout) WITHOUT running any perception — the Stage-B entry for the
+    benchmark :class:`~benchmarks.perception_cache.PerceptionCache`."""
+    timer = StageTimer()
+    result = ProcessedVideo(video_path=video_path)
+    with timer.stage("cache_restore"):
+        _restore_from_cache(result, features)
+    _finalize_processed(result, config, timer)
+    return result
+
+
+def _finalize_processed(result: ProcessedVideo, config: SystemConfig,
+                        timer: "StageTimer") -> None:
+    """Shared tail of process_video: projector-dim resolution + loop."""
+    timeline, kb = result.timeline, result.knowledge_base
     reasoning_config = ReasoningCoreConfig(
         max_new_tokens=config.reasoning.max_new_tokens,
         trigger_concepts=config.inference.trigger_concepts,
@@ -433,8 +468,6 @@ def process_video(
         loop.reasoning_core.index_timeline(timeline)
     result.loop = loop
     result.timings = dict(timer.timings)
-    print(timer.report())
-    return result
 
 
 # (reasoning core, projector bank) shared across videos: bank init +

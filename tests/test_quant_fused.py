@@ -176,3 +176,41 @@ class TestFusedSigLIP:
             fused, jnp.ones((1, 28, 28, 3), jnp.float32), cfg)
         assert out["pooled"].shape == (1, cfg.hidden_size)
         assert np.isfinite(np.asarray(out["pooled"], np.float32)).all()
+
+
+class TestPackedQKVAttention:
+    def test_matches_reference_with_kv_mask(self):
+        """Unpadded head_dim (72-style) exercises the in-kernel DMA
+        pad path; query rows past kv_len are garbage and excluded."""
+        from gvl_tpu.ops.quant_matmul import (
+            attention_qkv_packed_pallas,
+            attention_qkv_packed_reference,
+        )
+
+        b, sp, s, h, dh = 2, 64, 57, 4, 72
+        qkv = jnp.asarray(RNG.normal(size=(b * sp, 3 * h * dh)),
+                          jnp.bfloat16)
+        kw = dict(batch=b, seq_pad=sp, kv_len=s, num_heads=h, head_dim=dh,
+                  sm_scale=0.125)
+        got = attention_qkv_packed_pallas(qkv, interpret=True, **kw)
+        ref = attention_qkv_packed_reference(qkv, **kw)
+        g = np.asarray(got, np.float32).reshape(b, sp, h * dh)[:, :s]
+        r = np.asarray(ref, np.float32).reshape(b, sp, h * dh)[:, :s]
+        np.testing.assert_allclose(g, r, rtol=2e-2, atol=2e-2)
+
+    def test_lane_aligned_head_dim(self):
+        from gvl_tpu.ops.quant_matmul import (
+            attention_qkv_packed_pallas,
+            attention_qkv_packed_reference,
+        )
+
+        b, sp, h, dh = 1, 128, 2, 128
+        qkv = jnp.asarray(RNG.normal(size=(b * sp, 3 * h * dh)),
+                          jnp.bfloat16)
+        kw = dict(batch=b, seq_pad=sp, kv_len=sp, num_heads=h,
+                  head_dim=dh, sm_scale=0.1)
+        got = attention_qkv_packed_pallas(qkv, interpret=True, **kw)
+        ref = attention_qkv_packed_reference(qkv, **kw)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
