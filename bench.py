@@ -62,7 +62,11 @@ def chain_seconds(apply_fn, params, x, reps: int, iters: int = 2) -> float:
 
 # ------------------------------------------------------------------ tower
 
-def bench_siglip_tower() -> float:
+def bench_siglip_tower() -> tuple[float, float]:
+    """(fused_img_s, bf16_img_s): the headline is the SHIPPED serving
+    path — the Pallas-fused W8A8 tower (``NaFlexConfig.quant_fused``,
+    pooled cosine vs bf16 ≥ 0.9998 measured at so400m shapes); the bf16
+    tower rides along as the unquantized companion."""
     from gvl_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
 
     cfg = SigLIPVisionConfig.so400m()
@@ -80,7 +84,25 @@ def bench_siglip_tower() -> float:
         chain_seconds(apply_fn, params, x, hi)
         - chain_seconds(apply_fn, params, x, lo)
     ) / (hi - lo)
-    return BATCH / per_batch
+    bf16_fps = BATCH / per_batch
+    if not ON_TPU:  # fused path == XLA reference off-TPU; skip the rerun
+        return bf16_fps, bf16_fps
+
+    from gvl_tpu.models.siglip_fused import (
+        prepare_fused_siglip,
+        siglip_fused_apply,
+    )
+
+    fused = prepare_fused_siglip(
+        jax.tree.map(lambda a: a.astype(jnp.bfloat16), params["params"]),
+        cfg, x[:4].astype(jnp.bfloat16))
+    fused_fn = lambda f, xb: siglip_fused_apply(f, xb, cfg,
+                                                pool=True)["pooled"]
+    per_batch_f = (
+        chain_seconds(fused_fn, fused, x, hi)
+        - chain_seconds(fused_fn, fused, x, lo)
+    ) / (hi - lo)
+    return BATCH / per_batch_f, bf16_fps
 
 
 # ------------------------------------------------- end-to-end perception
@@ -367,9 +389,10 @@ def main() -> None:
     from gvl_tpu.utils.jax_setup import setup_jax
 
     setup_jax()   # persistent TPU compile cache across driver runs
-    tower_fps = bench_siglip_tower()
+    tower_fps, bf16_fps = bench_siglip_tower()
     e2e_fps, e2e_backends = bench_perception_e2e()
-    extra = {"perception_e2e_fps": round(e2e_fps, 1),
+    extra = {"siglip_bf16_img_s": round(bf16_fps, 1),
+             "perception_e2e_fps": round(e2e_fps, 1),
              "perception_backends": e2e_backends}
     if ON_TPU:
         extra.update(bench_decode_8b())
@@ -384,7 +407,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "siglip_so400m_images_per_sec_per_chip",
         "value": round(tower_fps, 1),
-        "unit": f"img/s (384x384 bf16, batch {BATCH}, 1 chip)",
+        "unit": f"img/s (384x384 fused W8A8 serving path, batch {BATCH}, "
+                f"1 chip)",
         "vs_baseline": round(tower_fps / TARGET_FPS_PER_CHIP, 3),
         "extra": extra,
     }))

@@ -19,14 +19,35 @@ logger = logging.getLogger(__name__)
 
 
 def _device_peak_bytes() -> Optional[int]:
+    """Device peak bytes; falls back to live-array residency when the
+    runtime exposes no allocator stats (the tunnel-attached axon TPU
+    returns ``memory_stats() is None`` — VERDICT r3 #9).  The fallback
+    is a point-in-time lower bound on peak, not a true high-water mark;
+    `hbm_source` in the aggregate says which one was recorded."""
     try:
         import jax
 
         stats = jax.local_devices()[0].memory_stats() or {}
-        return int(stats.get("peak_bytes_in_use",
+        peak = int(stats.get("peak_bytes_in_use",
                              stats.get("bytes_in_use", 0))) or None
+        if peak is not None:
+            return peak
+        return sum(a.nbytes for a in jax.live_arrays()) or None
     except Exception:
         return None
+
+
+def hbm_stat_source() -> str:
+    """Which statistic :func:`_device_peak_bytes` records on this
+    runtime: 'allocator_peak' or 'live_arrays' (see docstring)."""
+    try:
+        import jax
+
+        if jax.local_devices()[0].memory_stats():
+            return "allocator_peak"
+    except Exception:
+        pass
+    return "live_arrays"
 
 
 @dataclass
@@ -68,6 +89,10 @@ class AggregateMetrics:
     avg_generation_time: float = 0.0
     avg_total_time: float = 0.0
     peak_hbm_gb: float = 0.0
+    # 'allocator_peak' (true high-water) or 'live_arrays' (residency at
+    # sample end — the tunnel-attached runtime exposes no allocator
+    # stats; see metrics.hbm_stat_source)
+    hbm_source: str = ""
     by_task: dict = field(default_factory=dict)
 
     @classmethod
@@ -91,6 +116,7 @@ class AggregateMetrics:
         agg.avg_total_time = sum(s.total_time_sec for s in samples) / n
         agg.peak_hbm_gb = max(
             (s.peak_hbm_bytes or 0) for s in samples) / 1024 ** 3
+        agg.hbm_source = hbm_stat_source()
         # per-task accuracy breakdown
         tasks: dict[str, list[SampleMetrics]] = {}
         for s in scored:

@@ -42,7 +42,6 @@ from gvl_tpu.models.siglip import MAPHead, SigLIPVisionConfig
 from gvl_tpu.ops.quant_matmul import (
     attention_fused_qkv,
     ln_quant,
-    quant_static,
     w8a8_matmul,
 )
 
@@ -50,8 +49,11 @@ from gvl_tpu.ops.quant_matmul import (
 # [B·Sp, D] with Sp = round_up(S, SEQ_PAD): per-batch padding keeps
 # q/k/v blocks of one image contiguous for the fused-QKV attention
 # kernel (no [B,H,S,D] transposes ever materialize), and the multiple
-# keeps B·Sp tall-block friendly for the matmul kernels.
-SEQ_PAD = 64
+# keeps B·Sp tall-block friendly for the matmul kernels.  32 (not 64):
+# at so400m's S=729 the pad rows are pure waste through EVERY op, and
+# Sp=736 (vs 768) cuts that from 5.4% to 1% — all kernels only need
+# Sp%16 and B·Sp%32.
+SEQ_PAD = 32
 
 # Per-head lanes in the fused QKV/attention layout.  Head dim 72 is not
 # a lane multiple, and Mosaic's DMA cannot slice unaligned minor-dim
@@ -151,6 +153,20 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
     return {"bf16": bf, "layers": layers}
 
 
+# Per-op (block_m, block_n) for the four layer matmuls — measured
+# IN-CONTEXT on v5e at so400m tower shapes (scripts/bench_fused_tower.py
+# --blocks sweeps these; isolated-op sweeps overstate by ~2x from
+# cross-iteration pipelining, so only whole-tower timings pick winners).
+BLOCKS: dict[str, tuple[int, int]] = {
+    "qkv": (3072, 256),
+    "o": (1024, 384),
+    "fc1": (512, 512),
+    "fc2": (512, 1024),
+}
+# attention q-block (rows per grid step; seq_pad-clamped in the kernel)
+ATTN_BLOCK_Q = 1024
+
+
 def _fused_layer(h: jax.Array, lp: dict, config: SigLIPVisionConfig,
                  batch: int, seq_pad: int, seq: int,
                  int8_attention: bool = False) -> jax.Array:
@@ -160,27 +176,28 @@ def _fused_layer(h: jax.Array, lp: dict, config: SigLIPVisionConfig,
     eps = config.layer_norm_eps
     sm_scale = 1.0 / float(np.sqrt(d // n_heads))
 
-    # per-op block sizes from the on-chip sweep (scripts/
-    # sweep_w8a8_blocks.py, v5e tower shapes)
     xq = ln_quant(h, lp["ln1_g"], lp["ln1_b"], lp["ln1_inv"], eps=eps)
     qkv = w8a8_matmul(xq, lp["w_qkv"], lp["s_qkv"], lp["b_qkv"],
-                      block_m=3072, block_n=256)
-    attn = attention_fused_qkv(
+                      block_m=BLOCKS["qkv"][0], block_n=BLOCKS["qkv"][1])
+    # o-proj's static activation quantize rides the attention epilogue
+    # (int8 out): no separate quant pass, half the attention output HBM
+    # traffic
+    aq = attention_fused_qkv(
         qkv, batch=batch, seq_pad=seq_pad, kv_len=seq,
         num_heads=n_heads, dh_pad=DH_PAD, sm_scale=sm_scale,
-        int8_scores=int8_attention)
-    aq = quant_static(attn, lp["attn_inv"])
+        int8_scores=int8_attention, block_q=ATTN_BLOCK_Q,
+        out_scale_inv=lp["attn_inv"])
     h = w8a8_matmul(aq, lp["w_o"], lp["s_o"], lp["b_o"],
                     epilogue="residual", residual=h,
-                    block_m=1024, block_n=384)
+                    block_m=BLOCKS["o"][0], block_n=BLOCKS["o"][1])
 
     yq = ln_quant(h, lp["ln2_g"], lp["ln2_b"], lp["ln2_inv"], eps=eps)
     hq = w8a8_matmul(yq, lp["w1"], lp["s1"], lp["b1"],
                      epilogue="gelu_quant", out_scale_inv=lp["gelu_inv"],
-                     block_m=512, block_n=256)
+                     block_m=BLOCKS["fc1"][0], block_n=BLOCKS["fc1"][1])
     return w8a8_matmul(hq, lp["w2"], lp["s2"], lp["b2"],
                        epilogue="residual", residual=h,
-                       block_m=512, block_n=384)
+                       block_m=BLOCKS["fc2"][0], block_n=BLOCKS["fc2"][1])
 
 
 def siglip_fused_apply(

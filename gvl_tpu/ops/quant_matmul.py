@@ -45,9 +45,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(dim: int, cap: int, step: int = 8) -> int:
+    """Largest divisor of ``dim`` that is ≤ cap and a ``step`` multiple
+    (falls back to ``dim`` itself when no aligned divisor exists —
+    callers have already validated alignment)."""
+    cap = min(cap, dim)
+    for cand in range(cap - cap % step, 0, -step):
+        if dim % cand == 0:
+            return cand
+    return dim
+
+
+# Mosaic double-buffers every blocked operand; leave headroom under the
+# 16 MB scoped-vmem limit for semaphores/accumulators.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 # --------------------------------------------------------------------------
 # w8a8 matmul with fused epilogue
 # --------------------------------------------------------------------------
+
+def _gelu_exp2(y: jax.Array) -> jax.Array:
+    """tanh-GELU via the VPU's native exp2.
+
+    0.5·(1+tanh(t)) == sigmoid(2t), so the tanh approximation is exactly
+    y·sigmoid(2·0.79788456·(y + 0.044715·y³)) — one exp2 + one
+    reciprocal instead of XLA's multi-pass tanh rational (the tanh
+    lowering measured the fc1 matmul at HALF the rate of the identical-
+    shape fc2: 145 vs 298 TOPS — the epilogue, not the dot, was binding).
+    Same math as jax.nn.gelu(approximate=True) up to last-ulp exp
+    differences, which the int8 requantize absorbs."""
+    u = y * y
+    # 2·sqrt(2/pi)·log2(e) folded into one constant
+    arg = (-2.302118131) * y * (1.0 + 0.044715 * u)
+    return y / (1.0 + jnp.exp2(arg))
+
 
 def _w8a8_kernel(s_out_ref, x_ref, w_ref, scale_ref, bias_ref, res_ref,
                  o_ref, *, epilogue: str):
@@ -58,12 +90,13 @@ def _w8a8_kernel(s_out_ref, x_ref, w_ref, scale_ref, bias_ref, res_ref,
     if bias_ref is not None:
         y = y + bias_ref[:]
     if epilogue == "gelu_quant":
-        # tanh-GELU on bf16: half the VPU element ops; the requantize to
-        # 7 bits below makes bf16 mantissa loss irrelevant
-        y = jax.nn.gelu(y.astype(jnp.bfloat16),
-                        approximate=True).astype(jnp.float32)
+        y = _gelu_exp2(y)
         q = jnp.clip(jnp.round(y * s_out_ref[0]), -127, 127)
         o_ref[:] = q.astype(jnp.int8)
+    elif epilogue == "quant":
+        # static per-column requantize: the caller pre-folds the output
+        # inverse scale into scale/bias, so this is just round+clip
+        o_ref[:] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     elif epilogue == "residual":
         o_ref[:] = (y + res_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
     else:  # "none"
@@ -89,10 +122,11 @@ def w8a8_matmul_reference(
     if bias is not None:
         y = y + bias[None, :]
     if epilogue == "gelu_quant":
-        y = jax.nn.gelu(y.astype(jnp.bfloat16),
-                        approximate=True).astype(jnp.float32)
+        y = _gelu_exp2(y)
         return jnp.clip(jnp.round(y * out_scale_inv), -127, 127
                         ).astype(jnp.int8)
+    if epilogue == "quant":
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     if epilogue == "residual":
         return (y + residual.astype(jnp.float32)).astype(out_dtype)
     return y.astype(out_dtype)
@@ -129,20 +163,30 @@ def w8a8_matmul_pallas(
     # HBM once per m-block (the x block is constant across the fast j
     # axis and its DMA is skipped), so fewer/taller m-blocks amortize
     # weight bandwidth.  block_n only needs to divide n as a lane
-    # multiple — pick the largest such divisor under the cap.
-    block_m = min(block_m, m)
-    while m % block_m:
-        block_m //= 2
-    best_n = 128
-    for cand in range(128, min(block_n, n) + 1, 128):
-        if n % cand == 0:
-            best_n = cand
-    block_n = best_n
+    # multiple — pick the largest such divisor under the cap.  Then
+    # shrink block_m until the double-buffered working set fits scoped
+    # VMEM (large-batch callers would otherwise OOM the 16 MB limit).
+    block_m = _pick_block(m, block_m, step=32)
+    block_n = _pick_block(n, block_n, step=128)
+
+    def working_set(bm: int, bn: int) -> int:
+        per_out = {"residual": 4,     # bf16 out + bf16 residual block
+                   "gelu_quant": 1, "quant": 1}.get(epilogue, 2)
+        return 2 * (bm * k            # x int8, double-buffered
+                    + k * bn          # w int8
+                    + bm * bn * per_out)
+
+    while block_m > 32 and working_set(block_m, block_n) > _VMEM_BUDGET:
+        block_m = _pick_block(m, block_m // 2, step=32)
+    while block_n > 128 and working_set(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _pick_block(n, block_n // 2, step=128)
     grid = (m // block_m, n // block_n)
 
     if epilogue == "gelu_quant":
         if out_scale_inv is None:
             raise ValueError("gelu_quant needs out_scale_inv")
+        out_dtype = jnp.int8
+    elif epilogue == "quant":
         out_dtype = jnp.int8
     s_out = jnp.asarray(
         out_scale_inv if out_scale_inv is not None else 0.0,
@@ -374,11 +418,16 @@ def attention_qkv_packed(qkv, *, batch, seq_pad, kv_len, num_heads,
 # (trading ~78% extra FLOPs on the cheap QKV dot for zero transposes),
 # and this kernel indexes (BQ, dh_pad) blocks straight out of it.
 
-def _padded_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
-                        kv_len: int, seq_pad: int, int8_scores: bool):
+def _padded_attn_kernel(s_out_ref, q_ref, k_ref, v_ref, o_ref, *,
+                        sm_scale: float, kv_len: int, seq_pad: int,
+                        int8_scores: bool, quant_out: bool):
     q = q_ref[:]                      # (BQ, dh_pad)
     k = k_ref[:]                      # (Sp, dh_pad)
     v = v_ref[:]                      # (Sp, dh_pad)
+    # softmax in log2 space: exp(x) = exp2(x·log2e) and the VPU's native
+    # transcendental is exp2, so folding log2e into the score scale
+    # removes one [BQ, Sp] multiply pass
+    scale2 = sm_scale * 1.4426950408889634
 
     def quant_block(x):
         amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
@@ -396,16 +445,16 @@ def _padded_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
         s = jax.lax.dot_general(
             q8, k8, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * (sq * sk * sm_scale)
+        ).astype(jnp.float32) * (sq * sk * scale2)
     else:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32) * scale2
     if kv_len != seq_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
     if int8_scores:
         # p in [0, 1]: fixed 127 quantization; v dynamic per block
@@ -419,21 +468,38 @@ def _padded_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
         out = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    o_ref[:] = (out / denom).astype(o_ref.dtype)
+    out = out / denom
+    if quant_out:
+        # fused static requantize: the consumer (o-projection) reads
+        # int8 directly — no separate quant pass, half the output HBM
+        # traffic
+        out = jnp.clip(jnp.round(out * s_out_ref[0]), -127, 127)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def attention_fused_qkv_reference(qkv, *, batch, seq_pad, kv_len,
-                                  num_heads, dh_pad, sm_scale):
-    return attention_qkv_packed_reference(
+                                  num_heads, dh_pad, sm_scale,
+                                  out_scale_inv=None):
+    out = attention_qkv_packed_reference(
         qkv, batch=batch, seq_pad=seq_pad, kv_len=kv_len,
         num_heads=num_heads, head_dim=dh_pad, sm_scale=sm_scale)
+    if out_scale_inv is not None:
+        out = jnp.clip(jnp.round(out.astype(jnp.float32) * out_scale_inv),
+                       -127, 127).astype(jnp.int8)
+    return out
 
 
 def attention_fused_qkv_pallas(qkv, *, batch, seq_pad, kv_len, num_heads,
                                dh_pad, sm_scale, int8_scores: bool = False,
                                block_q: int = 1024,
+                               out_scale_inv=None,
                                interpret: bool = False):
-    """``qkv [B·Sp, 3·H·dh_pad]`` → attention output ``[B·Sp, H·dh_pad]``."""
+    """``qkv [B·Sp, 3·H·dh_pad]`` → attention output ``[B·Sp, H·dh_pad]``.
+
+    ``out_scale_inv``: fuse the consumer's static activation quantize
+    into the epilogue — output is int8 (W8A8 towers feed the o-proj
+    directly, skipping the separate quant pass and halving output
+    traffic)."""
     m, width = qkv.shape
     if m != batch * seq_pad or width != 3 * num_heads * dh_pad:
         raise ValueError(f"qkv shape {qkv.shape} inconsistent with "
@@ -446,14 +512,19 @@ def attention_fused_qkv_pallas(qkv, *, batch, seq_pad, kv_len, num_heads,
         bq //= 2
     nq = seq_pad // bq
     h = num_heads
+    quant_out = out_scale_inv is not None
+    s_out = jnp.asarray(out_scale_inv if quant_out else 0.0,
+                        jnp.float32).reshape(1)
+    out_dtype = jnp.int8 if quant_out else qkv.dtype
 
     kernel = functools.partial(
         _padded_attn_kernel, sm_scale=sm_scale, kv_len=kv_len,
-        seq_pad=seq_pad, int8_scores=int8_scores)
+        seq_pad=seq_pad, int8_scores=int8_scores, quant_out=quant_out)
     return pl.pallas_call(
         kernel,
         grid=(batch, h, nq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # out_scale_inv (1,)
             pl.BlockSpec((bq, dh_pad),
                          lambda b, hh, iq, _nq=nq: (b * _nq + iq, hh)),
             pl.BlockSpec((seq_pad, dh_pad),
@@ -463,16 +534,17 @@ def attention_fused_qkv_pallas(qkv, *, batch, seq_pad, kv_len, num_heads,
         ],
         out_specs=pl.BlockSpec(
             (bq, dh_pad), lambda b, hh, iq, _nq=nq: (b * _nq + iq, hh)),
-        out_shape=jax.ShapeDtypeStruct((m, h * dh_pad), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, h * dh_pad), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(s_out, qkv, qkv, qkv)
 
 
 def attention_fused_qkv(qkv, *, batch, seq_pad, kv_len, num_heads,
-                        dh_pad, sm_scale, int8_scores: bool = False):
+                        dh_pad, sm_scale, int8_scores: bool = False,
+                        block_q: int = 1024, out_scale_inv=None):
     """``int8_scores``: quantize q/k/v/p per block inside the kernel so
     both attention dots ride the int8 MXU (2x).  Accuracy-neutral at the
     tower level (pooled cosine vs bf16 unchanged) but measured a net
@@ -481,8 +553,10 @@ def attention_fused_qkv(qkv, *, batch, seq_pad, kv_len, num_heads,
     default — kept for wider-head or longer-sequence regimes."""
     kw = dict(batch=batch, seq_pad=seq_pad, kv_len=kv_len,
               num_heads=num_heads, dh_pad=dh_pad, sm_scale=sm_scale,
-              int8_scores=int8_scores)
-    ref_kw = {k: v for k, v in kw.items() if k != "int8_scores"}
+              int8_scores=int8_scores, block_q=block_q,
+              out_scale_inv=out_scale_inv)
+    ref_kw = {k: v for k, v in kw.items()
+              if k not in ("int8_scores", "block_q")}
     return jax.lax.platform_dependent(
         qkv,
         tpu=functools.partial(attention_fused_qkv_pallas, **kw),
@@ -518,9 +592,9 @@ def ln_quant_pallas(x, gamma, beta, inv_scale, *, eps=1e-6,
     m, d = x.shape
     if m % 32 or d % 128:
         raise ValueError(f"unpadded ln_quant shape [{m},{d}]")
-    block_m = min(block_m, m)
-    while m % block_m:
-        block_m //= 2
+    block_m = _pick_block(m, block_m, step=32)
+    while block_m > 32 and 2 * block_m * d * 3 > _VMEM_BUDGET:
+        block_m = _pick_block(m, block_m // 2, step=32)
     inv = jnp.asarray(inv_scale, jnp.float32).reshape(1)
     return pl.pallas_call(
         functools.partial(_ln_quant_kernel, eps=eps),
@@ -569,9 +643,9 @@ def quant_static_pallas(x, inv_scale, *, block_m: int = 1024,
     m, d = x.shape
     if m % 32 or d % 128:
         raise ValueError(f"unpadded quant shape [{m},{d}]")
-    block_m = min(block_m, m)
-    while m % block_m:
-        block_m //= 2
+    block_m = _pick_block(m, block_m, step=32)
+    while block_m > 32 and 2 * block_m * d * 3 > _VMEM_BUDGET:
+        block_m = _pick_block(m, block_m // 2, step=32)
     inv = jnp.asarray(inv_scale, jnp.float32).reshape(1)
     return pl.pallas_call(
         _quant_kernel,

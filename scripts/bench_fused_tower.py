@@ -87,6 +87,8 @@ def main() -> None:
 
     if "--pieces" in sys.argv:
         _bench_pieces(fused, cfg)
+    if "--blocks" in sys.argv:
+        _sweep_tower_blocks(fused, cfg, pix)
 
     # numerics check vs the static XLA tower on-device
     static_tower = SigLIPVisionTower(replace(cfg, quant_int8=True,
@@ -107,6 +109,74 @@ def main() -> None:
                                 * np.linalg.norm(g, axis=-1) + 1e-9)
     print(f"pooled cosine fused-vs-bf16:       min {cos_bf.min():.5f} "
           f"mean {cos_bf.mean():.5f}")
+
+
+def _sweep_tower_blocks(fused: dict, cfg, pix) -> None:
+    """Greedy per-op block search measured on the WHOLE tower (isolated
+    op sweeps overstate ~2x via cross-iteration pipelining).  Candidate
+    block_m values are drawn from the ACTUAL divisors of the padded row
+    count (B·Sp = 2^8·23 at SEQ_PAD=32 has no 512/1024/3072 divisors —
+    a fixed candidate list silently degrades through _pick_block)."""
+    import gvl_tpu.models.siglip_fused as sf
+
+    seq = (cfg.image_size // cfg.patch_size) ** 2
+    m_rows = BATCH * ((seq + sf.SEQ_PAD - 1) // sf.SEQ_PAD * sf.SEQ_PAD)
+    m_divs = sorted(d for d in range(32, m_rows + 1, 32)
+                    if m_rows % d == 0)
+
+    def m_near(target: int, k: int = 3) -> list[int]:
+        return sorted(m_divs, key=lambda d: abs(d - target))[:k]
+
+    candidates = {
+        "qkv": [(m, n) for m in m_near(2944) for n in (256, 512)],
+        "o": [(m, n) for m in m_near(1024) for n in (384, 1152)],
+        "fc1": [(m, n) for m in m_near(512) for n in (512, 256)],
+        "fc2": [(m, n) for m in m_near(512) for n in (1024, 512)],
+    }
+    attn_candidates = [1024, 368, 184]
+
+    def tower_time() -> float:
+        f = lambda fu, x: sf.siglip_fused_apply(fu, x, cfg,
+                                                pool=True)["pooled"]
+        return chain_time(f, (fused, pix), reps_pair=(4, 16), iters=3)
+
+    base = tower_time()
+    print(f"  start {dict(sf.BLOCKS)} attn_q={sf.ATTN_BLOCK_Q}: "
+          f"{base * 1e3:.2f} ms")
+    for op, cands in candidates.items():
+        best_t, best_c = base, sf.BLOCKS[op]
+        for cand in cands:
+            if cand == sf.BLOCKS[op]:
+                continue
+            prev = sf.BLOCKS[op]
+            sf.BLOCKS[op] = cand
+            try:
+                t = tower_time()
+            except Exception as exc:
+                print(f"  {op}={cand}: FAIL {type(exc).__name__}")
+                sf.BLOCKS[op] = prev
+                continue
+            mark = " *" if t < best_t else ""
+            print(f"  {op}={cand}: {t * 1e3:.2f} ms{mark}")
+            if t < best_t:
+                best_t, best_c = t, cand
+            sf.BLOCKS[op] = prev
+        sf.BLOCKS[op] = best_c
+        base = best_t
+    for bq in attn_candidates:
+        if bq == sf.ATTN_BLOCK_Q:
+            continue
+        prev = sf.ATTN_BLOCK_Q
+        sf.ATTN_BLOCK_Q = bq
+        t = tower_time()
+        mark = " *" if t < base else ""
+        print(f"  attn_q={bq}: {t * 1e3:.2f} ms{mark}")
+        if t < base:
+            base = t
+        else:
+            sf.ATTN_BLOCK_Q = prev
+    print(f"  best {dict(sf.BLOCKS)} attn_q={sf.ATTN_BLOCK_Q}: "
+          f"{base * 1e3:.2f} ms  {BATCH / base:.1f} img/s")
 
 
 def _bench_pieces(fused: dict, cfg) -> None:

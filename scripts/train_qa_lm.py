@@ -72,6 +72,17 @@ def main(argv=None) -> int:
                              "640-byte bare prompts, 2-6 events (copying "
                              "forms far faster); warm-start the full "
                              "distribution from its checkpoint")
+    parser.add_argument("--geometry", default="v4", choices=["v4", "v5"],
+                        help="v4: the 15M rung; v5: the scaled ~62M rung "
+                             "(VERDICT r3 #2 — the 15M lookup ceiling)")
+    parser.add_argument("--pipeline-frac", type=float, default=0.0,
+                        help="per-sample probability of a pipeline-"
+                             "rendered sample (real build_prompt over "
+                             "real timeline/KB with benchmark question "
+                             "shapes — the serving distribution)")
+    parser.add_argument("--max-len", type=int, default=None,
+                        help="training byte budget (default 3072; "
+                             "4096 for --geometry v5)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -93,7 +104,16 @@ def main(argv=None) -> int:
                   learning_rate=args.lr, seed=args.seed,
                   pool_size=args.pool_size, family_weights=weights,
                   short_mix=args.short_mix,
-                  lookup_frac=args.lookup_frac)
+                  lookup_frac=args.lookup_frac,
+                  pipeline_frac=args.pipeline_frac)
+    if args.geometry == "v5":
+        from gvl_tpu.training.qa_lm_train import qa_lm_v5_config
+
+        common["model"] = qa_lm_v5_config()
+    if args.curriculum == "short":
+        pass  # the 640-byte budget IS the phase-A curriculum
+    elif args.max_len or args.geometry == "v5":
+        common["max_len"] = args.max_len or 4096
     cfg = (short_curriculum_config(**common)
            if args.curriculum == "short" else QATrainConfig(**common))
     init_params = None
@@ -105,10 +125,18 @@ def main(argv=None) -> int:
     logger.info("trained in %.1f s", time.time() - t0)
 
     metrics = evaluate_qa_lm(params, cfg.model,
-                             n_samples=args.eval_samples)
+                             n_samples=args.eval_samples,
+                             max_len=cfg.max_len)
     logger.info("held-out grounded QA: acc=%.3f by_family=%s",
                 metrics["accuracy"], metrics["by_family"])
     extra = {}
+    if args.pipeline_frac > 0:
+        extra["heldout_pipeline"] = evaluate_qa_lm(
+            params, cfg.model, n_samples=args.eval_samples,
+            pipeline=True, max_len=cfg.max_len)
+        logger.info("pipeline-rendered held-out: acc=%.3f by_family=%s",
+                    extra["heldout_pipeline"]["accuracy"],
+                    extra["heldout_pipeline"]["by_family"])
     if args.curriculum == "short":
         extra["heldout_short"] = evaluate_qa_lm(
             params, cfg.model, n_samples=args.eval_samples,
@@ -124,6 +152,8 @@ def main(argv=None) -> int:
     (Path(args.out) / "metrics.json").write_text(json.dumps({
         "heldout": metrics, "steps": args.steps,
         "curriculum": args.curriculum,
+        "geometry": args.geometry,
+        "pipeline_frac": args.pipeline_frac,
         "family_weights": list(weights),
         "pool_size": args.pool_size, "seed": args.seed, **extra},
         indent=2))
