@@ -324,17 +324,29 @@ def bench_open_vocab(n_scenes: int = 8) -> dict:
     from gvl_tpu.perception.open_vocab import OpenVocabSamBackend
     from gvl_tpu.training.siglip_train import evaluate_open_vocab
 
+    # the SHIPPED serving path: prompts resolve through the trained
+    # retrieval lexicon before vision scoring (open_vocab.
+    # LexiconPromptResolver — VERDICT r3 #7); the raw-tower numbers ride
+    # along as the true zero-shot holdout of the byte text tower alone
     backend = OpenVocabSamBackend.from_trained_checkpoints(
         "outputs/sam_params.npz", "outputs/minisiglip")
+    raw = OpenVocabSamBackend.from_trained_checkpoints(
+        "outputs/sam_params.npz", "outputs/minisiglip", retriever_dir=None)
     m = evaluate_open_vocab(backend, n_scenes=n_scenes, style="base")
     from gvl_tpu.training.siglip_train import UNSEEN_PROMPTS
 
     p = evaluate_open_vocab(backend, n_scenes=n_scenes, style="base",
                             prompts=UNSEEN_PROMPTS)
+    praw = evaluate_open_vocab(raw, n_scenes=n_scenes, style="base",
+                               prompts=UNSEEN_PROMPTS)
     return {"open_vocab_det_correct": round(m["det_correct"], 3),
             "open_vocab_label_acc": round(m["label_acc"], 3),
             "open_vocab_paraphrase_det": round(p["det_correct"], 3),
-            "open_vocab_paraphrase_label_acc": round(p["label_acc"], 3)}
+            "open_vocab_paraphrase_label_acc": round(p["label_acc"], 3),
+            "open_vocab_paraphrase_det_raw_tower":
+                round(praw["det_correct"], 3),
+            "open_vocab_paraphrase_label_raw_tower":
+                round(praw["label_acc"], 3)}
 
 
 def bench_retriever(n_timelines: int = 24) -> dict:

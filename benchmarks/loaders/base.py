@@ -145,7 +145,43 @@ class BenchmarkLoader(ABC):
         n_audio = 0  # audio MCQs emitted so far (distinct-line cycling)
         for i in range(n):
             duration = rng.choice([10, 20])
-            if i % 2 == 0:
+            if i % 8 == 2:
+                # audio-IMPLICATION MCQ (VERDICT r3 #8): the clip's
+                # scheduled non-speech event (impact/UI chime) must be
+                # classified, indexed, retrieved by timestamp AND mapped
+                # to its gameplay implication — the option text never
+                # appears in the timeline, so the answer requires audio
+                # REASONING, not lookup (reference capability:
+                # qwen_audio_processor.analyze_audio_events)
+                from gvl_tpu.audio.event_model import CLASS_IMPLICATIONS
+                from gvl_tpu.io.video import SyntheticVideo
+
+                entities = "player," + rng.choice(self._SYNTH_CONCEPTS)
+                video_path = (
+                    f"synthetic://concept_demo_{self.name}_{i}"
+                    f"?duration={duration}&fps=2&entities={entities}"
+                    "&audio=1")
+                sv = SyntheticVideo.from_url(video_path)
+                kind_desc = {"impact": "impact sound", "ui": "UI chime"}
+                targets = [(t, kind_desc[kind])
+                           for t, kind, _ in sv.audio_ground_truth()
+                           if kind in kind_desc]
+                if not targets:
+                    raise ValueError(
+                        f"no non-speech audio event for {video_path}")
+                t_ev, desc = targets[(i // 8) % len(targets)]
+                # the event classifier emits 1 s windows at integer
+                # offsets, so the perceived timeline timestamp is the
+                # window start containing the scheduled event
+                mmss = f"{int(t_ev) // 60:02d}:{int(t_ev) % 60:02d}"
+                truth = CLASS_IMPLICATIONS[desc]
+                options = list(CLASS_IMPLICATIONS.values())[:4]
+                if truth not in options:
+                    options[-1] = truth
+                question = (f"What does the sound at [{mmss}] imply "
+                            "about the gameplay?")
+                answer_format = AnswerFormat.MCQ
+            elif i % 2 == 0:
                 # binary presence: truth decided first, scene built to it
                 present = rng.choice(self._SYNTH_CONCEPTS)
                 if rng.random() < 0.5:
@@ -214,7 +250,8 @@ class BenchmarkLoader(ABC):
                 question = ("Besides the player, which of the following "
                             "entities appears in this video?")
                 answer_format = AnswerFormat.MCQ
-            if i % 4 != 3:  # audio branch already built its exact URL
+            if i % 4 != 3 and i % 8 != 2:
+                # audio branches already built their exact (audio=1) URL
                 video_path = (
                     f"synthetic://concept_demo_{self.name}_{i}"
                     f"?duration={duration}&fps=2&entities={entities}")

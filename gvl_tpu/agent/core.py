@@ -237,6 +237,39 @@ class TimelineGroundedFakeBackend:
                     f"timeline events mention \"{term.strip()}\".")
                 answer = (f"**Answer:** No — \"{term.strip()}\" does not "
                           f"appear in the retrieved timeline.")
+        elif options and (imp := re.search(
+                r"sound at \[(\d{2}:\d{2})\] imply", question)):
+            # audio-implication MCQ (VERDICT r3 #8): look up the audio
+            # event AT the cited timestamp and answer with its gameplay
+            # implication — the option text never matches the timeline
+            # surface, so generic token-overlap scoring cannot solve it
+            from gvl_tpu.audio.event_model import CLASS_IMPLICATIONS
+
+            ts = imp.group(1)
+            desc = next(
+                (line for ets, line in events
+                 if ets == ts and "audio" in line.lower()), "")
+            m = re.search(r"\(Audio:\s*([^)]+)\)", desc)
+            implied = CLASS_IMPLICATIONS.get(m.group(1).strip()) if m \
+                else None
+            pick = 0
+            if implied is not None:
+                want = _tokens(implied)
+                overlap = [
+                    sum(any(_lev_le1(w, h) for h in _tokens(t))
+                        for w in want) / max(len(want), 1)
+                    for t in opt_texts]
+                pick = int(max(range(len(opt_texts)),
+                               key=lambda i: overlap[i]))
+                reasoning = (
+                    f"**Reasoning:** The timeline shows \"{m.group(1)}\" "
+                    f"at [{ts}], which implies {implied}.")
+            else:
+                reasoning = (
+                    f"**Reasoning:** No audio event is recorded at "
+                    f"[{ts}] in the retrieved timeline.")
+            answer = (f"**Answer:** {options[pick][0]}) "
+                      f"{opt_texts[pick]}")
         elif options:
             none_idx = [i for i, t in enumerate(opt_texts)
                         if re.match(r"none\b", t, re.IGNORECASE)]

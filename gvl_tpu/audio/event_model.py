@@ -43,6 +43,22 @@ CLASS_DESCRIPTIONS = {
     "ambient": "ambient noise",
 }
 
+# What each detected sound IMPLIES about the gameplay — the audio-
+# REASONING vocabulary (VERDICT r3 #8).  The reference gets this from
+# chat-prompted Qwen2-Audio event analysis
+# (`/root/reference/src/audio/qwen_audio_processor.py:474-548`); here
+# the trained QA LM learns the event→implication map from the
+# audio-implication QA family (gvl_tpu.training.qa_lm_train), and the
+# timeline carries the raw event so the implication is derivable at
+# question time.
+CLASS_IMPLICATIONS = {
+    "impact sound": "a collision or hit occurred",
+    "UI chime": "a menu or interface interaction happened",
+    "background music": "music is playing with no gameplay event",
+    "voice chatter": "a character is speaking",
+    "ambient noise": "only ambient background is audible",
+}
+
 
 @dataclass
 class EventModelConfig:

@@ -158,10 +158,10 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
 # --blocks sweeps these; isolated-op sweeps overstate by ~2x from
 # cross-iteration pipelining, so only whole-tower timings pick winners).
 BLOCKS: dict[str, tuple[int, int]] = {
-    "qkv": (3072, 256),
-    "o": (1024, 384),
-    "fc1": (512, 512),
-    "fc2": (512, 1024),
+    "qkv": (1472, 512),
+    "o": (256, 1152),
+    "fc1": (736, 256),
+    "fc2": (256, 1024),
 }
 # attention q-block (rows per grid step; seq_pad-clamped in the kernel)
 ATTN_BLOCK_Q = 1024

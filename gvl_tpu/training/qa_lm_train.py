@@ -430,7 +430,8 @@ def _loop_suffixes(rng: np.random.Generator) -> str:
 
 
 def _build_pipeline_scene(rng: np.random.Generator, duration: float,
-                          labels: list[str], speech: Optional[str]):
+                          labels: list[str], speech: Optional[str],
+                          extra_audio: Optional[tuple] = None):
     """(TimelineIndexer, KnowledgeBaseBuilder) like the qa_lm arm's
     perception produces on a concept_demo clip: detection events near
     t=0 (later duplicates merge away), audio events from the event
@@ -451,8 +452,21 @@ def _build_pipeline_scene(rng: np.random.Generator, duration: float,
                           confidence=float(rng.uniform(0.6, 0.99)))
     n_audio = int(rng.integers(2, 5))
     times = rng.uniform(0, duration, n_audio)
+    taken = set()
+    if extra_audio is not None:
+        # the implication family's target event: keep its [MM:SS] second
+        # unambiguous so the rendered line is the unique ground truth
+        t_imp, ev_imp = extra_audio
+        taken.add(int(t_imp))
+        indexer.add_event(float(t_imp), ModalityType.AUDIO, ev_imp,
+                          confidence=float(rng.uniform(0.6, 0.99)))
     for t in times:
-        ev = str(rng.choice(AUDIO_EVENTS))
+        if int(t) in taken:
+            continue
+        taken.add(int(t))
+        pool = (AUDIO_EVENTS if extra_audio is None else
+                [e for e in AUDIO_EVENTS if e != extra_audio[1]])
+        ev = str(rng.choice(pool))
         indexer.add_event(float(t), ModalityType.AUDIO, ev,
                           confidence=float(rng.uniform(0.5, 0.99)))
     if speech is not None:
@@ -492,7 +506,8 @@ def generate_pipeline_sample(rng: np.random.Generator,
         duration = float(rng.choice((8.0, 10.0, 16.0, 20.0)))
         r = rng.random()
         speech = None
-        if r < 0.4:                                   # binary presence
+        imp_target = None
+        if r < 0.35:                                  # binary presence
             family = "binary"
             present = str(rng.choice(PIPELINE_CONCEPTS))
             if rng.random() < 0.5:
@@ -505,7 +520,7 @@ def generate_pipeline_sample(rng: np.random.Generator,
             question = (f"Does a {asked} appear at any point in this "
                         "video? Answer Yes or No.")
             options = ["Yes", "No"]
-        elif r < 0.72:                                # concept MCQ
+        elif r < 0.62:                                # concept MCQ
             family = "mcq"
             present = (str(rng.choice(PIPELINE_CONCEPTS))
                        if rng.random() < 0.75 else None)
@@ -514,7 +529,7 @@ def generate_pipeline_sample(rng: np.random.Generator,
             truth_opt = present if present else "None of these"
             question = ("Besides the player, which of the following "
                         "entities appears in this video?")
-        else:                                         # audio-line MCQ
+        elif r < 0.84:                                # audio-line MCQ
             family = "audio_mcq"
             speech = str(rng.choice(PIPELINE_SPEECH_LINES))
             labels = ["player", str(rng.choice(PIPELINE_CONCEPTS))]
@@ -522,8 +537,28 @@ def generate_pipeline_sample(rng: np.random.Generator,
             truth_opt = speech
             question = ("What does the voice in this clip say? "
                         "Pick the option matching the spoken line.")
+        else:                                         # audio implication
+            # the answer is the event's gameplay IMPLICATION, not its
+            # timeline surface (VERDICT r3 #8): lookup alone cannot
+            # solve it — the model also applies the event→implication
+            # map (the reference's analyze_audio_events capability)
+            from gvl_tpu.audio.event_model import CLASS_IMPLICATIONS
 
-        indexer, kb = _build_pipeline_scene(rng, duration, labels, speech)
+            family = "audio_imp"
+            labels = ["player", str(rng.choice(PIPELINE_CONCEPTS))]
+            ev = str(rng.choice(AUDIO_EVENTS))
+            t_imp = float(rng.uniform(1.0, duration - 1.0))
+            imp_target = (t_imp, ev)
+            truth_opt = CLASS_IMPLICATIONS.get(
+                ev, "only ambient background is audible")
+            options = [v for v in CLASS_IMPLICATIONS.values()
+                       if v != truth_opt][:3] + [truth_opt]
+            rng.shuffle(options)
+            question = (f"What does the sound at [{_mmss(int(t_imp))}] "
+                        "imply about the gameplay?")
+
+        indexer, kb = _build_pipeline_scene(rng, duration, labels, speech,
+                                            extra_audio=imp_target)
         query = _letters_prompt(question, options) + _loop_suffixes(rng)
         messages, _ = core._prepare(query, indexer, kb, None, None,
                                     False, None)
@@ -553,6 +588,12 @@ def generate_pipeline_sample(rng: np.random.Generator,
             if present is None and any(
                     f"{c} detected" in user for c in PIPELINE_CONCEPTS):
                 continue
+        elif family == "audio_imp":
+            tag = f"[{_mmss(int(imp_target[0]))}]"
+            want_line = f"{tag} (Audio: {imp_target[1]})"
+            if (want_line not in user
+                    or user.count(f"{tag} (Audio:") != 1):
+                continue              # merged/dropped/ambiguous line
         else:
             if '"' not in user:       # transcript line dropped
                 continue
@@ -571,6 +612,10 @@ def generate_pipeline_sample(rng: np.random.Generator,
                           "the player appears in the timeline.")
             else:
                 answer = f"**Answer:** {letter}) {truth_opt} ([00:00])"
+        elif family == "audio_imp":
+            answer = (f"**Answer:** {letter}) {truth_opt} "
+                      f"([{_mmss(int(imp_target[0]))}]: "
+                      f"{imp_target[1]})")
         else:
             answer = f"**Answer:** {letter}) {truth_opt}"
         return QASample(system, [], question, answer, letter,
@@ -754,6 +799,29 @@ def _generate_base_sample(rng: np.random.Generator,
         t, ev = int(rng.integers(1, 580)), str(rng.choice(AUDIO_EVENTS))
         lines.append(f"[{_mmss(t)}] (Audio: {ev})")
         lines.sort()
+    if rng.random() < 0.45:
+        # audio-IMPLICATION variant (VERDICT r3 #8): the answer text is
+        # the event's gameplay implication, NOT the timeline surface —
+        # timestamp-keyed lookup alone cannot solve it, the model must
+        # also apply the event→implication map (audio REASONING, the
+        # reference's analyze_audio_events capability)
+        from gvl_tpu.audio.event_model import CLASS_IMPLICATIONS
+
+        options = list(CLASS_IMPLICATIONS.values())[:4]
+        truth_text = CLASS_IMPLICATIONS.get(
+            ev, "only ambient background is audible")
+        if truth_text not in options:
+            options[int(rng.integers(0, len(options)))] = truth_text
+        rng.shuffle(options)
+        letter = chr(ord("A") + options.index(truth_text))
+        question = (f"What does the sound at [{_mmss(t)}] imply about "
+                    "the gameplay?\n\nOptions:")
+        for i, option in enumerate(options):
+            question += f"\n{chr(ord('A') + i)}) {option}"
+        question += "\n\nAnswer with the letter of the correct option."
+        answer = f"**Answer:** {letter}) {truth_text}"
+        return QASample(system, lines, question, answer, letter,
+                        "audio_imp")
     question = f"What audio event occurs at [{_mmss(t)}]?"
     answer = f"**Answer:** {ev}"
     return QASample(system, lines, question, answer, ev, "audio")
@@ -1026,9 +1094,10 @@ def _answer_correct(text: str, sample: QASample) -> bool:
     m = re.search(r"\*\*Answer:\*\*\s*(.+)", text, re.DOTALL)
     got = (m.group(1) if m else text).strip().split("\n")[0]
     truth = sample.ground_truth.strip()
-    # pipeline_* family truths are option LETTERS (what the benchmark
-    # runner's parse_answer maps back to option text)
-    if sample.family == "mcq" or sample.family.startswith("pipeline_"):
+    # pipeline_*/audio_imp family truths are option LETTERS (what the
+    # benchmark runner's parse_answer maps back to option text)
+    if (sample.family in ("mcq", "audio_imp")
+            or sample.family.startswith("pipeline_")):
         lm = re.search(r"\b([A-H])\)", got)
         return bool(lm) and lm.group(1) == truth
     return truth.lower() in got.lower()

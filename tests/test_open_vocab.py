@@ -1,5 +1,7 @@
 """Open-vocab composite (SAM proposals + SigLIP text scoring) wiring."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -204,3 +206,88 @@ class TestOpenVocabBackend:
         for e in entities:
             assert e.concept_label == "enemy"
             assert e.get_mask_at_frame(0) is not None
+
+
+class TestLexiconPromptResolver:
+    """Prompt resolution through the retrieval text space (VERDICT r3 #7)."""
+
+    class _FakeEmbedder:
+        """Deterministic toy space: each known word owns an axis; texts
+        embed as the normalized bag of their known words."""
+
+        VOCAB = ("player", "hero", "enemy", "villain", "boss", "item",
+                 "loot")
+
+        def encode(self, texts):
+            out = np.zeros((len(texts), len(self.VOCAB) + 1), np.float32)
+            for i, t in enumerate(texts):
+                words = t.lower().split()
+                for j, w in enumerate(self.VOCAB):
+                    if w in words:
+                        out[i, j] = 1.0
+                if not out[i].any():
+                    out[i, -1] = 1.0       # unknown bucket
+            return out
+
+    def _resolver(self, **kw):
+        from gvl_tpu.perception.open_vocab import LexiconPromptResolver
+
+        lexicon = {"player": ("hero",), "enemy": ("villain",),
+                   "boss": (), "item": ("loot",)}
+        return LexiconPromptResolver(self._FakeEmbedder(), lexicon, **kw)
+
+    def test_canonical_identity(self):
+        r = self._resolver()
+        assert r.resolve("enemy") == "enemy"
+
+    def test_synonym_resolves(self):
+        r = self._resolver()
+        assert r.resolve("the hero") == "player"
+        assert r.resolve("a villain") == "enemy"
+        assert r.resolve("shiny loot") == "item"
+
+    def test_exact_pool_entry_short_circuits(self):
+        r = self._resolver()
+        assert r.resolve("Villain") == "enemy"
+
+    def test_unknown_passes_through(self):
+        r = self._resolver()
+        assert r.resolve("the castle wall") == "the castle wall"
+
+    def test_ambiguous_passes_through(self):
+        # mentions two concepts -> margin gate keeps the raw prompt
+        r = self._resolver()
+        assert r.resolve("hero fighting villain") == "hero fighting villain"
+
+    def test_backend_applies_resolver(self, backend):
+        backend.prompt_resolver = self._resolver()
+        backend._text_cache.clear()
+        resolved = backend._concept_embeddings(["the hero"])
+        canonical = backend._concept_embeddings(["player"])
+        np.testing.assert_allclose(resolved, canonical, atol=1e-6)
+
+    @pytest.mark.skipif(
+        not Path("outputs/retriever/retriever_config.json").exists(),
+        reason="shipped retriever artifact absent")
+    def test_shipped_artifact_resolves_unseen_probes(self):
+        """Three of the four UNSEEN_PROMPTS probes resolve to their
+        concepts through the SHIPPED trained retriever; the boss probe
+        ("a giant foe") is COMPOSITIONAL — "giant" is excluded from
+        every training pool by probe design, so its head noun "foe"
+        points at enemy and the injective set-resolution must hand the
+        slot back raw instead of collapsing it onto "a villain"'s
+        enemy embedding.  Scene nouns outside the lexicon pass through
+        (no false positives)."""
+        from gvl_tpu.perception.open_vocab import LexiconPromptResolver
+        from gvl_tpu.training.siglip_train import UNSEEN_PROMPTS
+
+        r = LexiconPromptResolver.from_trained("outputs/retriever")
+        resolved = r.resolve_set(list(UNSEEN_PROMPTS.values()))
+        got = dict(zip(UNSEEN_PROMPTS.keys(), resolved))
+        assert got["player"] == "player"
+        assert got["enemy"] == "enemy"
+        assert got["item"] == "item"
+        assert got["boss"] == UNSEEN_PROMPTS["boss"]  # passthrough
+        for neg in ("the castle wall", "a waterfall", "lava pit",
+                    "speedrun timer"):
+            assert r.resolve(neg) == neg
