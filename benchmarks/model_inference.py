@@ -226,3 +226,153 @@ class FullPipelineRunner:
                 "predicted": "", "raw_response": "", "timings": timings,
                 "num_frames": 0, "error": str(exc),
             }
+
+
+class BenchmarkModelRunner:
+    """Single-frame inference — the reference's simplified legacy mode.
+
+    Parity surface: `/root/reference/benchmarks/model_inference.py:
+    376-612` (``BenchmarkModelRunner``): decode ONE mid-video frame (or
+    the sample's still image), run the segmenter on it for a
+    "[Visual Analysis]" perception-context block, letter the options,
+    and ask the reasoning core directly — no timeline, KB, audio, or
+    caching.  ``FullPipelineRunner`` is the real benchmarking path;
+    this arm exists for image-only datasets (GlitchBench stills) and
+    quick capability probes.
+
+    Returns ``(answer, inference_seconds)`` like the reference.
+    """
+
+    def __init__(
+        self,
+        preset: str = "light",
+        concepts: Optional[list[str]] = None,
+        llm_checkpoint: str = "",
+        max_new_tokens: int = 256,
+    ):
+        from gvl_tpu.config import load_preset
+
+        self.preset = load_preset(preset)
+        if llm_checkpoint:
+            self.preset.reasoning.llm_checkpoint = llm_checkpoint
+        self.preset.reasoning.max_new_tokens = max_new_tokens
+        # the trained segmenter's prompt vocabulary (the reference
+        # prompts real SAM3 with glitch-ish concepts; the offline rung
+        # detects its trained concepts)
+        self.concepts = concepts or ["player", "enemy", "boss", "item"]
+        self._segmenter = None
+        self._core = None
+        self.total_samples = 0
+        self.total_inference_time = 0.0
+
+    # ------------------------------------------------------------- lazy
+    def _get_segmenter(self):
+        if self._segmenter is None:
+            from gvl_tpu.perception.batch import build_segmenter
+
+            self._segmenter = build_segmenter(self.preset)
+        return self._segmenter
+
+    def _get_core(self):
+        if self._core is None:
+            from gvl_tpu.agent import create_reasoning_core
+            from gvl_tpu.agent.config import ReasoningCoreConfig
+
+            rc = self.preset.reasoning
+            self._core = create_reasoning_core(
+                config=ReasoningCoreConfig(
+                    max_new_tokens=rc.max_new_tokens),
+                checkpoint_path=rc.llm_checkpoint or None,
+            )
+        return self._core
+
+    # --------------------------------------------------------- inference
+    def _load_frame(self, sample: BenchmarkSample) -> Optional[np.ndarray]:
+        """Mid-video frame or the still image, RGB uint8."""
+        if sample.image_path and Path(sample.image_path).exists():
+            try:
+                from PIL import Image
+
+                return np.asarray(
+                    Image.open(sample.image_path).convert("RGB"))
+            except Exception as exc:
+                logger.warning("image decode failed for %s: %s",
+                               sample.image_path, exc)
+        if sample.video_path:
+            from gvl_tpu.io.video import extract_frames, probe_video
+
+            try:
+                meta = probe_video(str(sample.video_path))
+                mid = max(meta.get("duration", 0.0) / 2.0, 0.0)
+                frames = extract_frames(str(sample.video_path),
+                                        fps=meta.get("fps", 1.0) or 1.0)
+                if not frames:
+                    return None
+                return min(frames, key=lambda tf: abs(tf[0] - mid))[1]
+            except Exception as exc:
+                logger.warning("frame decode failed for %s: %s",
+                               sample.video_path, exc)
+        return None
+
+    def _run_perception(self, frame: np.ndarray) -> tuple[str, list[dict]]:
+        """Segment the frame → ("[Visual Analysis]" block, detections)."""
+        descriptions, detections = [], []
+        try:
+            entities = self._get_segmenter().segment_with_prompts(
+                frame, 0, self.concepts)
+            for e in entities:
+                label = getattr(e, "concept_label", "entity")
+                conf = float(getattr(e, "confidence", 0.5))
+                det = {"label": label, "confidence": conf}
+                mask = (e.get_mask_at_frame(0)
+                        if hasattr(e, "get_mask_at_frame") else None)
+                if mask is not None and mask.bbox is not None:
+                    bb = mask.bbox
+                    det["bbox"] = [bb.x_min, bb.y_min, bb.x_max, bb.y_max]
+                detections.append(det)
+                descriptions.append(
+                    f"- Detected: {label} (conf: {conf:.2f})")
+            if not entities:
+                descriptions.append("- No specific game entities detected")
+        except Exception as exc:
+            logger.warning("single-frame perception failed: %s", exc)
+            descriptions.append("- Visual analysis unavailable")
+        return "\n".join(descriptions), detections
+
+    def run_inference(
+        self, sample: BenchmarkSample,
+        timeline_context: Optional[str] = None,
+    ) -> tuple[str, float]:
+        t0 = time.perf_counter()
+        question = sample.question or sample.get_prompt()
+
+        frame = self._load_frame(sample)
+        perception_context, detections = ("", [])
+        if frame is not None:
+            perception_context, detections = self._run_perception(frame)
+
+        enhanced = question
+        if timeline_context:
+            enhanced += f"\n\n[Timeline]\n{timeline_context}"
+        if perception_context:
+            enhanced += f"\n\n[Visual Analysis]\n{perception_context}"
+        if sample.options and "Options:" not in enhanced:
+            opts = "\n".join(f"  ({chr(65 + i)}) {o}"
+                             for i, o in enumerate(sample.options))
+            enhanced += (f"\n\nOptions:\n{opts}\n\n"
+                         "Answer with the letter only.")
+
+        try:
+            response = self._get_core().reason(
+                enhanced,
+                current_frame=frame,
+                region_detections=detections or None,
+                track_conversation=False,
+            )
+        except Exception as exc:
+            logger.error("single-frame inference failed: %s", exc)
+            response = ""
+        dt = time.perf_counter() - t0
+        self.total_samples += 1
+        self.total_inference_time += dt
+        return parse_answer(response or "", sample), dt

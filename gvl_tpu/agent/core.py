@@ -177,9 +177,19 @@ class TimelineGroundedFakeBackend:
                 m = re.match(r"\[(\d{1,2}:\d{2})\]\s*(.*)", line.strip())
                 if m:
                     events.append((m.group(1), m.group(2)))
+        # single-frame mode (BenchmarkModelRunner): no timeline — the
+        # "[Visual Analysis]" detections are the groundable context
+        va = re.search(r"\[Visual Analysis\]\n(.*?)(?:\n\n|\Z)",
+                       text, re.DOTALL)
+        if va:
+            for line in va.group(1).splitlines():
+                m = re.match(r"-\s*Detected:\s*(.+?)\s*\(", line.strip())
+                if m:
+                    events.append(("", m.group(1)))
         qm = re.search(r"## Question\n(.+)\Z", text, re.DOTALL)
         q_block = qm.group(1).strip() if qm else text[-500:]
-        options = re.findall(r"^([A-H])\)\s*(.+)$", q_block, re.MULTILINE)
+        options = re.findall(r"^\s*\(?([A-H])\)\s*(.+)$", q_block,
+                             re.MULTILINE)
         question = re.split(r"\n\s*Options:", q_block)[0].strip()
         return question, options, events
 
@@ -226,11 +236,12 @@ class TimelineGroundedFakeBackend:
                 term = quoted.group(1) if quoted else question
             ts = self._term_in_events(term, events)
             if ts is not None:
+                cite = f" at [{ts}]" if ts else " in the current frame"
                 reasoning = (
-                    f"**Reasoning:** The retrieved timeline contains a "
-                    f"matching observation of \"{term.strip()}\" at [{ts}].")
-                answer = (f"**Answer:** Yes — \"{term.strip()}\" appears "
-                          f"at [{ts}].")
+                    f"**Reasoning:** The retrieved context contains a "
+                    f"matching observation of \"{term.strip()}\"{cite}.")
+                answer = (f"**Answer:** Yes — \"{term.strip()}\" appears"
+                          f"{cite}.")
             else:
                 reasoning = (
                     f"**Reasoning:** None of the {len(events)} retrieved "

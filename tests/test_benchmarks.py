@@ -260,3 +260,30 @@ class TestStageABCaching:
         assert len(rebuilt.timestamps) == len(processed.timestamps)
         assert len(rebuilt.timeline.events) == len(
             processed.timeline.events)
+
+
+@pytest.mark.slow
+class TestSingleFrameRunner:
+    """Legacy single-frame mode (reference model_inference.py:376-612)."""
+
+    def test_synthetic_samples_through_single_frame(self):
+        from benchmarks.loaders.base import BenchmarkConfig
+        from benchmarks.loaders.glitchbench import GlitchBenchLoader
+        from benchmarks.model_inference import (
+            BenchmarkModelRunner,
+            check_correctness,
+        )
+
+        loader = GlitchBenchLoader(BenchmarkConfig(
+            data_dir="/nonexistent", synthetic=True, max_samples=2))
+        samples = loader.load()
+        runner = BenchmarkModelRunner(preset="light")
+        correct = 0
+        for s in samples:
+            ans, dt = runner.run_inference(s)
+            assert dt > 0
+            correct += check_correctness(ans, s)
+        # sample 0 is binary presence, sample 1 a concept MCQ — both
+        # answerable from one frame's detections by the grounded fake
+        assert correct == 2
+        assert runner.total_samples == 2
