@@ -41,6 +41,7 @@ import numpy as np
 from gvl_tpu.models.siglip import MAPHead, SigLIPVisionConfig
 from gvl_tpu.ops.quant_matmul import (
     attention_fused_qkv,
+    attention_packed_multihead,
     ln_quant,
     w8a8_matmul,
 )
@@ -85,7 +86,8 @@ def _pad_head_cols(kernel_q, scale, bias, num_heads: int):
     return w, pad_vec(scale), pad_vec(bias)
 
 
-def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
+def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig,
+                     packed_attention: bool = False) -> dict:
     """Calibrated static-act W8A8 params → fused serving layout.
 
     ``params`` is the tree produced by ``quantize_siglip_int8`` +
@@ -93,6 +95,12 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
     ``scale`` / ``bias`` / ``act_scale``).  Returns a plain pytree:
     q/k/v kernels concatenated, MLP dims padded to a lane multiple,
     dequant scales combined (act * weight), quantize scales inverted.
+
+    ``packed_attention``: keep heads PACKED (no DH_PAD zero columns) —
+    the qkv projection emits 3·H·dh columns instead of 3·H·128 and the
+    o-projection contracts over H·dh, shedding the ~78% head-pad FLOPs
+    on both dots; attention runs the in-register-sliced multi-head
+    kernel (:func:`gvl_tpu.ops.quant_matmul.attention_packed_multihead`).
     """
     d = config.hidden_size
     di = config.intermediate_size
@@ -109,14 +117,20 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
         act_in = f32(at["q_proj"]["act_scale"])
         o, fc1, fc2 = at["o_proj"], mlp["fc1"], mlp["fc2"]
         pad = dip - di
-        parts = [
-            _pad_head_cols(at[k]["kernel_q"], f32(at[k]["scale"]),
-                           f32(at[k]["bias"]), n_heads)
-            for k in names
-        ]
-        # o-projection ingests the padded layout via zero weight ROWS
-        w_o = o["kernel_q"].reshape(n_heads, dh, d)
-        w_o = jnp.pad(w_o, ((0, 0), (0, DH_PAD - dh), (0, 0)))
+        if packed_attention:
+            parts = [(at[k]["kernel_q"], f32(at[k]["scale"]),
+                      f32(at[k]["bias"])) for k in names]
+            w_o = o["kernel_q"]                  # [H·dh, D], no pad
+        else:
+            parts = [
+                _pad_head_cols(at[k]["kernel_q"], f32(at[k]["scale"]),
+                               f32(at[k]["bias"]), n_heads)
+                for k in names
+            ]
+            # o-projection ingests the padded layout via zero weight ROWS
+            w_o = o["kernel_q"].reshape(n_heads, dh, d)
+            w_o = jnp.pad(w_o, ((0, 0), (0, DH_PAD - dh), (0, 0)))
+            w_o = w_o.reshape(n_heads * DH_PAD, d)
         layers.append({
             "ln1_g": f32(lp["LayerNorm_0"]["scale"]),
             "ln1_b": f32(lp["LayerNorm_0"]["bias"]),
@@ -125,7 +139,7 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
             "s_qkv": act_in * jnp.concatenate([p[1] for p in parts]),
             "b_qkv": jnp.concatenate([p[2] for p in parts]),
             "attn_inv": 1.0 / f32(o["act_scale"]),
-            "w_o": w_o.reshape(n_heads * DH_PAD, d),
+            "w_o": w_o,
             "s_o": f32(o["act_scale"]) * f32(o["scale"]),
             "b_o": f32(o["bias"]),
             "ln2_g": f32(lp["LayerNorm_1"]["scale"]),
@@ -150,7 +164,8 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig) -> dict:
         "post_norm_b": f32(params["post_norm"]["bias"]),
         "head": params["head"],
     }
-    return {"bf16": bf, "layers": layers}
+    return {"bf16": bf, "layers": layers,
+            "packed": packed_attention}
 
 
 # Per-op (block_m, block_n) for the four layer matmuls — measured
@@ -169,7 +184,8 @@ ATTN_BLOCK_Q = 1024
 
 def _fused_layer(h: jax.Array, lp: dict, config: SigLIPVisionConfig,
                  batch: int, seq_pad: int, seq: int,
-                 int8_attention: bool = False) -> jax.Array:
+                 int8_attention: bool = False,
+                 packed: bool = False) -> jax.Array:
     """One encoder layer over the [B·Sp, D] residual stream."""
     d = config.hidden_size
     n_heads = config.num_heads
@@ -182,11 +198,17 @@ def _fused_layer(h: jax.Array, lp: dict, config: SigLIPVisionConfig,
     # o-proj's static activation quantize rides the attention epilogue
     # (int8 out): no separate quant pass, half the attention output HBM
     # traffic
-    aq = attention_fused_qkv(
-        qkv, batch=batch, seq_pad=seq_pad, kv_len=seq,
-        num_heads=n_heads, dh_pad=DH_PAD, sm_scale=sm_scale,
-        int8_scores=int8_attention, block_q=ATTN_BLOCK_Q,
-        out_scale_inv=lp["attn_inv"])
+    if packed:
+        aq = attention_packed_multihead(
+            qkv, batch=batch, seq_pad=seq_pad, kv_len=seq,
+            num_heads=n_heads, head_dim=d // n_heads, sm_scale=sm_scale,
+            out_scale_inv=lp["attn_inv"])
+    else:
+        aq = attention_fused_qkv(
+            qkv, batch=batch, seq_pad=seq_pad, kv_len=seq,
+            num_heads=n_heads, dh_pad=DH_PAD, sm_scale=sm_scale,
+            int8_scores=int8_attention, block_q=ATTN_BLOCK_Q,
+            out_scale_inv=lp["attn_inv"])
     h = w8a8_matmul(aq, lp["w_o"], lp["s_o"], lp["b_o"],
                     epilogue="residual", residual=h,
                     block_m=BLOCKS["o"][0], block_n=BLOCKS["o"][1])
@@ -230,7 +252,8 @@ def siglip_fused_apply(
     h = h.reshape(b * seq_pad, d)
     for lp in fused["layers"]:
         h = _fused_layer(h, lp, cfg, b, seq_pad, seq,
-                         int8_attention=int8_attention)
+                         int8_attention=int8_attention,
+                         packed=fused.get("packed", False))
     x = h.reshape(b, seq_pad, d)[:, :seq]
 
     xf = x.astype(jnp.float32)
@@ -248,7 +271,8 @@ def siglip_fused_apply(
 
 
 def prepare_fused_siglip(params: dict, config: SigLIPVisionConfig,
-                         sample_pixels) -> dict:
+                         sample_pixels,
+                         packed_attention: bool = False) -> dict:
     """bf16/f32 tower params → calibrated fused serving tree in one call
     (quantize → run dynamic tower for activation amax → bake → fuse)."""
     from gvl_tpu.models.siglip import (
@@ -258,4 +282,5 @@ def prepare_fused_siglip(params: dict, config: SigLIPVisionConfig,
 
     qparams = quantize_siglip_int8(params)
     sparams = calibrate_siglip_int8(config, qparams, sample_pixels)
-    return fuse_siglip_int8(sparams, config)
+    return fuse_siglip_int8(sparams, config,
+                            packed_attention=packed_attention)

@@ -394,6 +394,110 @@ def attention_qkv_packed_pallas(qkv, *, batch, seq_pad, kv_len, num_heads,
     )(qkv)
 
 
+def _packed_mh_attn_kernel(s_out_ref, qkv_ref, o_ref, *, num_heads: int,
+                           head_dim: int, sm_scale: float, kv_len: int,
+                           seq_pad: int, quant_out: bool):
+    """All heads of one image per grid cell, PACKED layout (no dh pad).
+
+    The earlier packed kernel (_packed_attn_kernel) DMA'd per-head
+    (Sp, 72) windows and hit Mosaic's lane-aligned-DMA requirement; this
+    one loads the whole ALIGNED (Sp, 3·H·dh) block once and slices heads
+    in-register (static unaligned lane slices lower to relayouts — VPU
+    cost, not a DMA restriction).  Head dots contract over dh=72, which
+    the MXU pads internally — attention FLOPs match the padded kernel —
+    but the PROJECTIONS shed their zero-column/row padding: qkv emits
+    3·H·dh (not 3·H·128) columns and o-proj contracts over H·dh."""
+    blk = qkv_ref[:]                       # (Sp, 3·H·dh)
+    hd = num_heads * head_dim
+    scale2 = sm_scale * 1.4426950408889634
+    outs = []
+    for h in range(num_heads):             # static unroll
+        q = blk[:, h * head_dim:(h + 1) * head_dim]
+        k = blk[:, hd + h * head_dim: hd + (h + 1) * head_dim]
+        v = blk[:, 2 * hd + h * head_dim: 2 * hd + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale2
+        if kv_len != seq_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(out / denom)
+    out = jnp.concatenate(outs, axis=1)    # (Sp, H·dh)
+    if quant_out:
+        out = jnp.clip(jnp.round(out * s_out_ref[0]), -127, 127)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def attention_packed_multihead_pallas(qkv, *, batch, seq_pad, kv_len,
+                                      num_heads, head_dim, sm_scale,
+                                      out_scale_inv=None,
+                                      interpret: bool = False):
+    """``qkv [B·Sp, 3·H·dh]`` (packed, dh need not be lane-aligned) →
+    ``[B·Sp, H·dh]`` attention output (int8 when ``out_scale_inv``)."""
+    m, width = qkv.shape
+    if m != batch * seq_pad or width != 3 * num_heads * head_dim:
+        raise ValueError(f"qkv shape {qkv.shape} inconsistent with "
+                         f"B={batch} Sp={seq_pad} H={num_heads} "
+                         f"dh={head_dim}")
+    if seq_pad % 16 or width % 128:
+        raise ValueError(f"unaligned Sp={seq_pad} / width={width}")
+    quant_out = out_scale_inv is not None
+    s_out = jnp.asarray(out_scale_inv if quant_out else 0.0,
+                        jnp.float32).reshape(1)
+    out_dtype = jnp.int8 if quant_out else qkv.dtype
+
+    kernel = functools.partial(
+        _packed_mh_attn_kernel, num_heads=num_heads, head_dim=head_dim,
+        sm_scale=sm_scale, kv_len=kv_len, seq_pad=seq_pad,
+        quant_out=quant_out)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # out_scale_inv (1,)
+            pl.BlockSpec((seq_pad, width), lambda b: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((seq_pad, num_heads * head_dim),
+                               lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, num_heads * head_dim),
+                                       out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(s_out, qkv)
+
+
+def attention_packed_multihead(qkv, *, batch, seq_pad, kv_len, num_heads,
+                               head_dim, sm_scale, out_scale_inv=None):
+    """Packed multi-head attention (TPU Pallas / XLA reference)."""
+    def ref(x, **kw):
+        out = attention_qkv_packed_reference(
+            x, batch=batch, seq_pad=seq_pad, kv_len=kv_len,
+            num_heads=num_heads, head_dim=head_dim, sm_scale=sm_scale)
+        if out_scale_inv is not None:
+            out = jnp.clip(jnp.round(out.astype(jnp.float32)
+                                     * out_scale_inv),
+                           -127, 127).astype(jnp.int8)
+        return out
+
+    return jax.lax.platform_dependent(
+        qkv,
+        tpu=functools.partial(
+            attention_packed_multihead_pallas, batch=batch,
+            seq_pad=seq_pad, kv_len=kv_len, num_heads=num_heads,
+            head_dim=head_dim, sm_scale=sm_scale,
+            out_scale_inv=out_scale_inv),
+        default=ref,
+    )
+
+
 def attention_qkv_packed(qkv, *, batch, seq_pad, kv_len, num_heads,
                          head_dim, sm_scale):
     """NOTE: the Mosaic DMA engine requires minor-dim slices aligned to

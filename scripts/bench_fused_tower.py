@@ -85,6 +85,21 @@ def main() -> None:
     t = chain_time(f_fused, (fused, pix))
     print(f"tower fused int8:  {t * 1e3:7.2f} ms  {BATCH / t:6.1f} img/s")
 
+    if "--packed" in sys.argv:
+        packed = fuse_siglip_int8(sparams, cfg, packed_attention=True)
+        tp = chain_time(f_fused, (packed, pix))
+        print(f"tower packed int8: {tp * 1e3:7.2f} ms  "
+              f"{BATCH / tp:6.1f} img/s")
+        import numpy as _np
+
+        a = _np.asarray(jax.jit(f_fused)(fused, pix), _np.float32)
+        bq = _np.asarray(jax.jit(f_fused)(packed, pix), _np.float32)
+        cosp = (a * bq).sum(-1) / (_np.linalg.norm(a, axis=-1)
+                                   * _np.linalg.norm(bq, axis=-1) + 1e-9)
+        print(f"pooled cosine packed-vs-padded:    min {cosp.min():.5f}")
+        if tp < t:
+            fused, t = packed, tp
+
     if "--pieces" in sys.argv:
         _bench_pieces(fused, cfg)
     if "--blocks" in sys.argv:

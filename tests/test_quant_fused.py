@@ -214,3 +214,79 @@ class TestPackedQKVAttention:
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestPackedMultiheadAttention:
+    def test_matches_reference_unaligned_head_dim(self):
+        """dh=48 (not a lane multiple) through the in-register-sliced
+        packed kernel; garbage query rows past kv_len excluded."""
+        from gvl_tpu.ops.quant_matmul import (
+            attention_packed_multihead_pallas,
+            attention_qkv_packed_reference,
+        )
+
+        b, sp, s, h, dh = 2, 64, 57, 8, 48
+        qkv = jnp.asarray(RNG.normal(size=(b * sp, 3 * h * dh)),
+                          jnp.bfloat16)
+        kw = dict(batch=b, seq_pad=sp, kv_len=s, num_heads=h,
+                  head_dim=dh, sm_scale=0.125)
+        got = attention_packed_multihead_pallas(qkv, interpret=True, **kw)
+        ref = attention_qkv_packed_reference(qkv, **kw)
+        g = np.asarray(got, np.float32).reshape(b, sp, h * dh)[:, :s]
+        r = np.asarray(ref, np.float32).reshape(b, sp, h * dh)[:, :s]
+        np.testing.assert_allclose(g, r, rtol=2e-2, atol=2e-2)
+
+    def test_int8_epilogue(self):
+        from gvl_tpu.ops.quant_matmul import (
+            attention_packed_multihead_pallas,
+            attention_qkv_packed_reference,
+        )
+
+        b, sp, h, dh = 1, 32, 4, 96
+        qkv = jnp.asarray(RNG.normal(size=(b * sp, 3 * h * dh)),
+                          jnp.bfloat16)
+        kw = dict(batch=b, seq_pad=sp, kv_len=sp, num_heads=h,
+                  head_dim=dh, sm_scale=0.1)
+        got = attention_packed_multihead_pallas(
+            qkv, interpret=True, out_scale_inv=jnp.float32(40.0), **kw)
+        assert got.dtype == jnp.int8
+        ref = attention_qkv_packed_reference(qkv, **kw)
+        want = np.clip(np.round(np.asarray(ref, np.float32) * 40.0),
+                       -127, 127)
+        diff = np.abs(np.asarray(got, np.int32) - want)
+        assert diff.max() <= 1
+
+    def test_packed_tower_matches_padded(self):
+        """fuse_siglip_int8(packed_attention=True) == the padded fused
+        tower (same calibration) within rounding, at a toy geometry
+        whose head_dim is NOT a lane multiple."""
+        from gvl_tpu.models.siglip import (
+            SigLIPVisionConfig,
+            SigLIPVisionTower,
+            calibrate_siglip_int8,
+            quantize_siglip_int8,
+        )
+        from gvl_tpu.models.siglip_fused import (
+            fuse_siglip_int8,
+            siglip_fused_apply,
+        )
+
+        cfg = SigLIPVisionConfig(hidden_size=128, intermediate_size=192,
+                                 num_layers=2, num_heads=4, image_size=56)
+        tower = SigLIPVisionTower(cfg)
+        key = jax.random.PRNGKey(0)
+        pix = jax.random.uniform(key, (2, 56, 56, 3), jnp.float32)
+        params = tower.init(key, jnp.ones((1, 56, 56, 3)))["params"]
+        qparams = quantize_siglip_int8(params)
+        sparams = calibrate_siglip_int8(cfg, qparams, pix)
+
+        padded = siglip_fused_apply(
+            fuse_siglip_int8(sparams, cfg), pix, cfg, pool=True)
+        packed = siglip_fused_apply(
+            fuse_siglip_int8(sparams, cfg, packed_attention=True),
+            pix, cfg, pool=True)
+        a = np.asarray(padded["pooled"], np.float32)
+        b = np.asarray(packed["pooled"], np.float32)
+        cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                 * np.linalg.norm(b, axis=-1) + 1e-9)
+        assert cos.min() > 0.999, cos
