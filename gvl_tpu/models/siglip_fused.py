@@ -164,8 +164,7 @@ def fuse_siglip_int8(params: dict, config: SigLIPVisionConfig,
         "post_norm_b": f32(params["post_norm"]["bias"]),
         "head": params["head"],
     }
-    return {"bf16": bf, "layers": layers,
-            "packed": packed_attention}
+    return {"bf16": bf, "layers": layers}
 
 
 # Per-op (block_m, block_n) for the four layer matmuls — measured
@@ -250,10 +249,16 @@ def siglip_fused_apply(
     seq_pad = _round_up(seq, SEQ_PAD)
     h = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
     h = h.reshape(b * seq_pad, d)
+    # packed vs head-padded attention layout is inferred from the o-proj
+    # kernel's STATIC row count (a stored bool leaf would trace to an
+    # array under jit); when dh is already lane-aligned the layouts
+    # coincide and the padded kernel path serves both
+    packed = (fused["layers"][0]["w_o"].shape[0]
+              != cfg.num_heads * DH_PAD)
     for lp in fused["layers"]:
         h = _fused_layer(h, lp, cfg, b, seq_pad, seq,
                          int8_attention=int8_attention,
-                         packed=fused.get("packed", False))
+                         packed=packed)
     x = h.reshape(b, seq_pad, d)[:, :seq]
 
     xf = x.astype(jnp.float32)

@@ -15,6 +15,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from gvl_tpu.utils.jax_setup import setup_jax
+
+setup_jax()  # persistent compile cache: tunnel compiles cost minutes
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,8 +77,10 @@ def main() -> None:
 
     # bf16 baseline
     f_bf = lambda p, x: tower.apply(p, x, pool=True)["pooled"]
-    t = chain_time(f_bf, (params, pix))
-    print(f"tower bf16:        {t * 1e3:7.2f} ms  {BATCH / t:6.1f} img/s")
+    if "--skip-bf16" not in sys.argv:
+        t = chain_time(f_bf, (params, pix))
+        print(f"tower bf16:        {t * 1e3:7.2f} ms  "
+              f"{BATCH / t:6.1f} img/s")
 
     # fused
     qparams = quantize_siglip_int8(params["params"])
@@ -118,12 +124,13 @@ def main() -> None:
     print(f"pooled cosine fused-vs-static-XLA: min {cos.min():.5f} "
           f"mean {cos.mean():.5f}")
 
-    bf = jax.jit(f_bf)(params, pix)
-    b = np.asarray(bf, np.float32)
-    cos_bf = (b * g).sum(-1) / (np.linalg.norm(b, axis=-1)
-                                * np.linalg.norm(g, axis=-1) + 1e-9)
-    print(f"pooled cosine fused-vs-bf16:       min {cos_bf.min():.5f} "
-          f"mean {cos_bf.mean():.5f}")
+    if "--skip-bf16" not in sys.argv:
+        bf = jax.jit(f_bf)(params, pix)
+        b = np.asarray(bf, np.float32)
+        cos_bf = (b * g).sum(-1) / (np.linalg.norm(b, axis=-1)
+                                    * np.linalg.norm(g, axis=-1) + 1e-9)
+        print(f"pooled cosine fused-vs-bf16:       min {cos_bf.min():.5f} "
+              f"mean {cos_bf.mean():.5f}")
 
 
 def _sweep_tower_blocks(fused: dict, cfg, pix) -> None:
