@@ -51,6 +51,12 @@ class Qwen3Config:
     tie_word_embeddings: bool = False
     max_cache_length: int = 8192
     scan_layers: bool = False  # nn.scan stack: 1-layer trace, [L,...] params
+    # per-layer rematerialization (jax.checkpoint): drop layer activations
+    # on the forward pass and recompute them in the backward — the
+    # standard TPU FLOPs-for-HBM trade that lets long-sequence training
+    # (e.g. the 62M QA-LM at max_len 4096, batch 16) fit one v5e chip's
+    # 16 GB.  Forward-only inference is numerically unchanged.
+    remat: bool = False
     # length-clamped Pallas decode attention.  Measured IN-MODEL at the
     # full 8B geometry (36L/4096d, int8 weights, v5e-1): 69.1 vs 52.0
     # tok/s at S_max=4096 (1.33x) and 86.3 vs 80.9 at S_max=1024 — the
@@ -443,15 +449,18 @@ class Qwen3Model(nn.Module):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size)
         if cfg.scan_layers:
+            body = (nn.remat(_ScanLayerBody) if cfg.remat
+                    else _ScanLayerBody)
             self.scanned = nn.scan(
-                _ScanLayerBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=cfg.num_layers,
             )(cfg, name="layers")
         else:
+            layer_cls = nn.remat(Qwen3Layer) if cfg.remat else Qwen3Layer
             self.decoder_layers = [
-                Qwen3Layer(cfg, name=f"layers_{i}")
+                layer_cls(cfg, name=f"layers_{i}")
                 for i in range(cfg.num_layers)
             ]
         self.final_norm = RMSNorm(eps=cfg.rms_norm_eps)

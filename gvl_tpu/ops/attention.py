@@ -350,18 +350,17 @@ def _attention_fwd(q, k, v, causal, sm_scale, kv_len):
     return _attention(q, k, v, causal, sm_scale, kv_len), (q, k, v)
 
 
-def _attention_bwd(causal, sm_scale, kv_len, res, g):
-    """Recompute backward (XLA): exact softmax-attention gradients."""
-    q, k, v = res
-    batch, num_q_heads, seq_q, head_dim = q.shape
-    _, num_kv_heads, seq_k, _ = k.shape
-    group = num_q_heads // num_kv_heads
-    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+# dense backward is fine (and fastest) up to this many score elements per
+# (batch, head); past it the [Sq, Sk] f32 score/softmax/grad buffers no
+# longer fit HBM at training batch sizes, so the blockwise path takes over
+_BWD_DENSE_MAX_SCORES = 1024 * 1024
+_BWD_BLOCK_Q = 256
 
-    kf = jnp.repeat(k, group, axis=1) if group > 1 else k
-    vf = jnp.repeat(v, group, axis=1) if group > 1 else v
 
-    qf32, kf32, vf32, gf32 = (x.astype(jnp.float32) for x in (q, kf, vf, g))
+def _bwd_dense(q, k, v, g, causal, scale, kv_len):
+    """Full-matrix backward: exact softmax-attention gradients."""
+    seq_q, seq_k = q.shape[2], k.shape[2]
+    qf32, kf32, vf32, gf32 = (x.astype(jnp.float32) for x in (q, k, v, g))
     s = jnp.einsum("bhqd,bhkd->bhqk", qf32, kf32) * scale
     if kv_len is not None and kv_len < seq_k:
         col = jnp.arange(seq_k)[None, None, None, :]
@@ -377,6 +376,89 @@ def _attention_bwd(causal, sm_scale, kv_len, res, g):
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf32) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf32) * scale
+    return dq, dk, dv
+
+
+def _bwd_blockwise(q, k, v, g, causal, scale, kv_len, block_q):
+    """Flash-style backward: scan over q-blocks, never materializing the
+    [Sq, Sk] score matrix.  Peak residency is O(block_q * Sk) per (B, H),
+    which is what lets seq-4096 training fit a 16 GB chip (the dense
+    backward's four f32[B, H, 4096, 4096] buffers are ~43 GB at B=16).
+
+    Standard flash-backward identity: with O the forward output and
+    delta_i = rowsum(dO_i * O_i) = sum_k p_ik dp_ik, each block needs only
+    its own rows of p/dp — dk/dv accumulate across blocks in the carry."""
+    batch, num_q_heads, seq_q, head_dim = q.shape
+    seq_k = k.shape[2]
+    qf32, kf32, vf32, gf32 = (x.astype(jnp.float32) for x in (q, k, v, g))
+
+    # delta via a forward recompute (flash kernel on TPU: VMEM-bounded)
+    out = _attention(q, k, v, causal, scale, kv_len)
+    delta = jnp.sum(gf32 * out.astype(jnp.float32), axis=-1)  # [B, H, Sq]
+
+    n_blocks = -(-seq_q // block_q)
+    pad = n_blocks * block_q - seq_q
+    if pad:
+        # zero dO on padded rows => their ds/dp vanish, so padded rows
+        # contribute nothing to dk/dv and their dq rows are sliced away
+        qf32 = jnp.pad(qf32, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        gf32 = jnp.pad(gf32, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad)))
+
+    col = jnp.arange(seq_k)
+    valid_col = (col < kv_len) if (kv_len is not None and kv_len < seq_k) \
+        else None
+
+    def body(carry, idx):
+        dk_acc, dv_acc = carry
+        start = idx * block_q
+        q_blk = jax.lax.dynamic_slice_in_dim(qf32, start, block_q, axis=2)
+        g_blk = jax.lax.dynamic_slice_in_dim(gf32, start, block_q, axis=2)
+        d_blk = jax.lax.dynamic_slice_in_dim(delta, start, block_q, axis=2)
+
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk, kf32) * scale
+        if valid_col is not None:
+            s = jnp.where(valid_col[None, None, None, :], s, NEG_INF)
+        if causal:
+            row = start + jnp.arange(block_q)
+            s = jnp.where(col[None, :] <= row[:, None], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_blk, vf32)
+        ds = p * (dp - d_blk[..., None])
+        dq_blk = jnp.einsum("bhqk,bhkd->bhqd", ds, kf32) * scale
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, q_blk) * scale
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, g_blk)
+        return (dk_acc, dv_acc), dq_blk
+
+    zeros = jnp.zeros((batch, num_q_heads, seq_k, head_dim), jnp.float32)
+    (dk, dv), dq_blocks = jax.lax.scan(
+        body, (zeros, zeros), jnp.arange(n_blocks))
+    # [n_blocks, B, H, block_q, D] -> [B, H, Sq, D]
+    dq = jnp.moveaxis(dq_blocks, 0, 2).reshape(
+        batch, num_q_heads, n_blocks * block_q, head_dim)[:, :, :seq_q]
+    return dq, dk, dv
+
+
+def _attention_bwd(causal, sm_scale, kv_len, res, g):
+    """Recompute backward (XLA): exact softmax-attention gradients.
+
+    Dense for small problems; blockwise (flash-style q-block scan) once
+    the score matrix would dominate HBM — the seq-4096 QA-LM training
+    OOM'd the dense form at batch 16 (round-5 fix)."""
+    q, k, v = res
+    batch, num_q_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    group = num_q_heads // num_kv_heads
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+
+    kf = jnp.repeat(k, group, axis=1) if group > 1 else k
+    vf = jnp.repeat(v, group, axis=1) if group > 1 else v
+
+    if seq_q * seq_k <= _BWD_DENSE_MAX_SCORES:
+        dq, dk, dv = _bwd_dense(q, kf, vf, g, causal, scale, kv_len)
+    else:
+        dq, dk, dv = _bwd_blockwise(q, kf, vf, g, causal, scale, kv_len,
+                                    min(_BWD_BLOCK_Q, seq_q))
 
     if group > 1:
         dk = dk.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(2)

@@ -911,6 +911,10 @@ class QATrainConfig:
     # benchmark-loader question shapes — the serving distribution the
     # r3 arm failed on; see generate_pipeline_sample)
     pipeline_frac: float = 0.0
+    # mixed precision: f32 master params, bf16 cast inside the loss so
+    # matmuls ride the MXU at full rate (RMSNorm accumulates f32, loss
+    # is computed on f32 logits).  ~4x step time at the v5 geometry.
+    compute_dtype: str = "float32"
     model: Qwen3Config = field(default_factory=qa_lm_config)
 
 
@@ -1006,9 +1010,13 @@ def train_qa_lm(cfg: Optional[QATrainConfig] = None,
                      optax.adamw(schedule, weight_decay=cfg.weight_decay))
     opt_state = tx.init(params)
 
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
     @jax.jit
     def step_fn(params, opt_state, tokens, mask):
         def loss_fn(p):
+            if compute_dtype != jnp.float32:
+                p = jax.tree.map(lambda x: x.astype(compute_dtype), p)
             logits, _ = model.apply({"params": p}, tokens)
             targets = tokens[:, 1:]
             tmask = mask[:, 1:]
@@ -1114,9 +1122,10 @@ def save_qa_lm(params: dict, out_dir,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     cfg = config or qa_lm_config()
+    # remat is a TRAINING memory lever; the served model never wants it
     (out / "qa_lm_config.json").write_text(json.dumps({
         k: v for k, v in asdict(cfg).items()
-        if k != "lora_targets"}, indent=2))
+        if k not in ("lora_targets", "remat")}, indent=2))
     save_flat_npz(params, out / "params.npz")
 
 

@@ -83,6 +83,10 @@ def main(argv=None) -> int:
     parser.add_argument("--max-len", type=int, default=None,
                         help="training byte budget (default 3072; "
                              "4096 for --geometry v5)")
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="loss-path cast dtype (default: bfloat16 "
+                             "for the 62M v5 geometry, float32 otherwise)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -105,11 +109,16 @@ def main(argv=None) -> int:
                   pool_size=args.pool_size, family_weights=weights,
                   short_mix=args.short_mix,
                   lookup_frac=args.lookup_frac,
-                  pipeline_frac=args.pipeline_frac)
+                  pipeline_frac=args.pipeline_frac,
+                  compute_dtype=args.compute_dtype
+                  or ("bfloat16" if args.geometry == "v5" else "float32"))
     if args.geometry == "v5":
         from gvl_tpu.training.qa_lm_train import qa_lm_v5_config
 
-        common["model"] = qa_lm_v5_config()
+        # full-context phases train at max_len 4096 where the unrematted
+        # 62M backward OOMs a 16 GB chip; phase A (640 bytes) fits as-is
+        common["model"] = qa_lm_v5_config(
+            remat=(args.curriculum != "short"))
     if args.curriculum == "short":
         pass  # the 640-byte budget IS the phase-A curriculum
     elif args.max_len or args.geometry == "v5":

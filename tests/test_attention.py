@@ -102,6 +102,52 @@ class TestDispatcherAndGrad:
         out = f(q, k, v)
         assert out.shape == q.shape
 
+    @pytest.mark.parametrize("causal,kv_len", [(True, None), (False, None),
+                                               (False, 40), (True, 50)])
+    def test_blockwise_backward_matches_dense(self, causal, kv_len):
+        """The flash-style q-block-scan backward (used automatically once
+        the score matrix would dominate HBM — e.g. seq-4096 QA-LM
+        training) must produce the same gradients as the dense path,
+        including on a seq that does NOT divide the block size."""
+        from gvl_tpu.ops.attention import _bwd_blockwise, _bwd_dense
+
+        key = jax.random.PRNGKey(11)
+        q, k, v = rand_qkv(key, 2, 3, 3, 53, 61, 16)  # uneven seqs
+        g = jax.random.normal(jax.random.fold_in(key, 1), q.shape,
+                              dtype=q.dtype)
+        scale = 1.0 / np.sqrt(q.shape[-1])
+        dense = _bwd_dense(q, k, v, g, causal, scale, kv_len)
+        block = _bwd_blockwise(q, k, v, g, causal, scale, kv_len,
+                               block_q=16)  # 53 % 16 != 0 → pad branch
+        for d, b in zip(dense, block):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(d),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_blockwise_backward_gqa_end_to_end(self):
+        """Force the blockwise path through the public custom_vjp by
+        shrinking the dense-score threshold; gradients must match the
+        pure-XLA reference including the GQA group-sum."""
+        from gvl_tpu.ops import attention as attn_mod
+
+        q, k, v = rand_qkv(jax.random.PRNGKey(12), 1, 4, 2, 48, 64, 16)
+
+        def loss_custom(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, causal=True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=True) ** 2)
+
+        old = attn_mod._BWD_DENSE_MAX_SCORES
+        attn_mod._BWD_DENSE_MAX_SCORES = 1  # force blockwise
+        try:
+            g_custom = jax.grad(loss_custom, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            attn_mod._BWD_DENSE_MAX_SCORES = old
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gc, gr in zip(g_custom, g_ref):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                                       atol=1e-4, rtol=1e-4)
+
 
 class TestRope:
     def test_rope_preserves_norm(self):
