@@ -63,10 +63,12 @@ def chain_seconds(apply_fn, params, x, reps: int, iters: int = 2) -> float:
 # ------------------------------------------------------------------ tower
 
 def bench_siglip_tower() -> tuple[float, float]:
-    """(fused_img_s, bf16_img_s): the headline is the SHIPPED serving
-    path — the Pallas-fused W8A8 tower (``NaFlexConfig.quant_fused``,
-    pooled cosine vs bf16 ≥ 0.9998 measured at so400m shapes); the bf16
-    tower rides along as the unquantized companion."""
+    """(fused_img_s, bf16_img_s): the headline is the Pallas-fused W8A8
+    tower (``NaFlexConfig.quant_fused``, pooled cosine vs bf16 ≥ 0.9998
+    measured at so400m shapes) — enabled by default in every preset via
+    ``PerceptionConfig.siglip_fused`` and routed through
+    ``build_siglip_encoder`` for so400m/HF towers; the bf16 tower rides
+    along as the unquantized companion."""
     from gvl_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
 
     cfg = SigLIPVisionConfig.so400m()
@@ -124,6 +126,10 @@ def bench_perception_e2e(n_frames: int = 48) -> tuple[float, dict]:
     if ON_TPU:
         config.perception.sam_backend = "jax"  # trained ckpt if present
         config.perception.siglip_backend = "jax"
+        # pin the so400m geometry (metric continuity across rounds):
+        # the preset default now auto-resolves the trained mini tower,
+        # which is far cheaper and would change this metric's meaning
+        config.perception.siglip_checkpoint = None
     else:  # CPU fallback must still emit a line quickly: fake encoders
         config.perception.sam_backend = "fake"
         config.perception.siglip_backend = "fake"

@@ -101,9 +101,19 @@ class PerceptionConfig:
     # W8A8 tower blocks on the int8 MXU (~1.5-2x throughput on v5e;
     # pooled-embedding cosine vs bf16 ≈ 0.9999)
     siglip_int8: bool = False
-    # same ladder as sam_backend; checkpoint is an HF-layout directory
+    # Pallas-fused W8A8 serving tower (gvl_tpu.models.siglip_fused):
+    # calibrated static activation scales baked at build time; measured
+    # 275 vs 197 img/s over bf16 at so400m on one v5e.  Applies to the
+    # so400m/HF towers only (the mini tower is already cheap); other
+    # platforms lower to the exact XLA reference paths
+    siglip_fused: bool = True
+    # same ladder as sam_checkpoint/asr_checkpoint: the self-trained
+    # mini-SigLIP (scripts/train_siglip.py) auto-loads when this dir
+    # resolves — it also arms the segmenter-free zero-shot frame
+    # labeler for the gvp_light arm (perception/frame_labeler.py);
+    # deterministic fake below it.  An HF-layout so400m dir works too.
     siglip_backend: str = "auto"
-    siglip_checkpoint: Optional[str] = None
+    siglip_checkpoint: Optional[str] = "outputs/minisiglip"
 
     # temporal clip encoder (VideoMAE-class)
     use_videomae: bool = True

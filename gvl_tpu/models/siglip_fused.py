@@ -26,8 +26,9 @@ of the LayerNorm output.
 
 Reference capability surface: the torch SigLIP wrapper's bf16-autocast
 encode (`/root/reference/src/perception/siglip_semantic_encoder.py:
-261-289`); this path is the TPU-first replacement that clears the
-BASELINE 300 img/s-per-chip bar.
+261-289`); this path is the TPU-first replacement chasing the BASELINE
+300 img/s-per-chip target (measured 275 img/s on one v5e in round 4,
+vs 197 bf16 — see BENCH_r04.json and the ROADMAP roofline discussion).
 """
 
 from __future__ import annotations

@@ -354,7 +354,10 @@ def _attention_fwd(q, k, v, causal, sm_scale, kv_len):
 # (batch, head); past it the [Sq, Sk] f32 score/softmax/grad buffers no
 # longer fit HBM at training batch sizes, so the blockwise path takes over
 _BWD_DENSE_MAX_SCORES = 1024 * 1024
-_BWD_BLOCK_Q = 256
+# measured at the 62M QA-LM geometry (b16, seq 4096, v5e): 256-blocks
+# 8.7 s/step, 512-blocks 1.87 s, 1024-blocks 1.78 s — 512 keeps ~all of
+# the win at half the [B, H, blk, Sk] f32 block-buffer footprint
+_BWD_BLOCK_Q = 512
 
 
 def _bwd_dense(q, k, v, g, causal, scale, kv_len):

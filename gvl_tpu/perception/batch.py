@@ -233,6 +233,18 @@ def build_siglip_encoder(config, mesh=None):
         from gvl_tpu.perception.semantic import NaFlexConfig
 
         nf = NaFlexConfig(quant_int8=True)
+
+    def _fused(cfg):
+        # the fused W8A8 serving tower applies to the big (so400m/HF)
+        # towers; the trained mini tower is already cheap and keeps its
+        # exact bf16 numerics
+        if getattr(p, "siglip_fused", False):
+            from gvl_tpu.perception.semantic import NaFlexConfig
+
+            cfg = cfg or NaFlexConfig()
+            cfg.quant_fused = True
+        return cfg
+
     ckpt = _resolve_checkpoint(getattr(p, "siglip_checkpoint", None))
     if ckpt:
         from gvl_tpu.training.siglip_train import is_minisiglip_checkpoint
@@ -241,9 +253,9 @@ def build_siglip_encoder(config, mesh=None):
             return SigLIPSemanticEncoder.from_trained_checkpoint(
                 ckpt, config=nf, mesh=mesh)
         return SigLIPSemanticEncoder.from_hf_checkpoint(
-            ckpt, config=nf, mesh=mesh)
+            ckpt, config=_fused(nf), mesh=mesh)
     if backend == "jax":
-        return SigLIPSemanticEncoder.with_random_tower(config=nf,
+        return SigLIPSemanticEncoder.with_random_tower(config=_fused(nf),
                                                        mesh=mesh)
     return SigLIPSemanticEncoder()
 

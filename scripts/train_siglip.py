@@ -54,13 +54,24 @@ def main(argv=None) -> int:
                         "checkpoint; 0.5 was measured and REJECTED "
                         "(paraphrase det 0.24/0.28 vs 0.27/0.44 for the "
                         "fixed pools + prompt ensemble — see ROADMAP)")
+    parser.add_argument("--text-pretrain-steps", type=int, default=0,
+                        help="corpus-backed text-tower pretraining "
+                        "(gvl_tpu.training.text_corpus) before VL "
+                        "alignment — the zero-egress stand-in for the "
+                        "reference's pretrained text encoder")
+    parser.add_argument("--text-corpus-weight", type=float, default=0.0,
+                        help="auxiliary word-context loss weight during "
+                        "VL training (keeps the pretrained synonym "
+                        "geometry from collapsing)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
 
     cfg = SigLIPTrainConfig(steps=args.steps, batch_size=args.batch_size,
                             learning_rate=args.lr, seed=args.seed,
-                            composed_frac=args.composed_frac)
+                            composed_frac=args.composed_frac,
+                            text_pretrain_steps=args.text_pretrain_steps,
+                            text_corpus_weight=args.text_corpus_weight)
     t0 = time.time()
     variables = train_minisiglip(cfg)
     logger.info("trained in %.1f s", time.time() - t0)
@@ -79,7 +90,9 @@ def main(argv=None) -> int:
                     metrics=metrics)
     (Path(args.out) / "metrics.json").write_text(json.dumps({
         "zero_shot": metrics, "steps": args.steps,
-        "seed": args.seed, "composed_frac": args.composed_frac},
+        "seed": args.seed, "composed_frac": args.composed_frac,
+        "text_pretrain_steps": args.text_pretrain_steps,
+        "text_corpus_weight": args.text_corpus_weight},
         indent=2))
     logger.info("saved %s", args.out)
     return 0

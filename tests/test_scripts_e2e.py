@@ -68,7 +68,9 @@ class TestScriptsEndToEnd:
             assert set(z.files) == {
                 "siglip_ts", "siglip", "videomae_ts", "videomae",
                 "wav2vec2_ts", "wav2vec2", "hico"}
-            assert z["siglip"].shape[1:] == (1152,)
+            # 384 = shipped trained mini-SigLIP (the preset ladder's
+            # auto-resolved rung); 1152 = so400m HF tower / hash fake
+            assert z["siglip"].shape[1:] in ((384,), (1152,))
             # 256 = shipped trained clip tower; 768 = hash fake / HF base
             assert z["videomae"].shape[1:] in ((256,), (768,))
             # 128 = trained event-feature rung; 1024 = hash fake / HF
