@@ -171,6 +171,75 @@ def bench_perception_e2e(n_frames: int = 48) -> tuple[float, dict]:
     return best, backends
 
 
+def bench_perception_dp_split(n_frames: int = 48) -> dict:
+    """Measured terms of the multi-chip perception projection
+    (VERDICT r4 #8): split one e2e perception pass into device time
+    (segmentation/encode/OCR programs — embarrassingly parallel over a
+    ``data`` mesh axis, zero cross-chip collectives) and host time
+    (tracking/NMS/timeline/KB ingest — the serial term).  The N-chip
+    fleet rate is then the measured Amdahl bound
+    ``n_frames / (t_host + t_device / N)``, with DP correctness proven
+    separately (dryrun_multichip shards frames over an 8-device virtual
+    mesh and the sharded segmenter matches single-device bitwise).
+
+    Method: run the identical pass twice — once normally, once with the
+    device work async-dispatched but never synchronized until one final
+    block — so (total − dispatch-side) isolates the host share without
+    instrumenting every stage.  Simpler and robust on the tunnel: time
+    a DEVICE-ONLY replay (same programs, host consumption skipped) and
+    subtract."""
+    from gvl_tpu.config import load_preset
+    from gvl_tpu.fusion import KnowledgeBaseBuilder, TimelineIndexer
+    from gvl_tpu.io.video import SyntheticVideo
+    from gvl_tpu.perception import build_perception_stack, run_batched_perception
+
+    config = load_preset("light")
+    config.perception.use_sam = True
+    config.perception.sam_backend = "jax"
+    config.perception.siglip_backend = "jax"
+    config.perception.siglip_checkpoint = None
+    config.perception.sam3_fps = config.inference.fps
+
+    video = SyntheticVideo("bench_clip", duration=n_frames / 2.0, fps=2.0,
+                           width=640, height=480)
+    frames = [(i / 2.0, video.frame(i)) for i in range(n_frames)]
+    stack = build_perception_stack(config)
+    run_batched_perception(frames, config, TimelineIndexer(),
+                           KnowledgeBaseBuilder(), chunk=n_frames,
+                           segmenter=stack[0], encoder=stack[1],
+                           ocr=stack[2])
+
+    def timed_pass():
+        stack[0].reset()
+        t0 = time.perf_counter()
+        run_batched_perception(frames, config, TimelineIndexer(),
+                               KnowledgeBaseBuilder(), chunk=n_frames,
+                               segmenter=stack[0], encoder=stack[1],
+                               ocr=stack[2])
+        return time.perf_counter() - t0
+
+    total = min(timed_pass() for _ in range(3))
+
+    # device-only: the segmentation program IS the dominant device cost;
+    # time it alone via the backend's raw batch call
+    backend = getattr(stack[0], "backend", None)
+    images = [f for _, f in frames]
+    concepts = ["player", "enemy", "boss", "item"]
+    if backend is None or not hasattr(backend, "__call__"):
+        return {}
+    backend(images[:4], concepts, [0, 1, 2, 3])  # warm
+    t0 = time.perf_counter()
+    backend(images, concepts, list(range(n_frames)))
+    t_seg = time.perf_counter() - t0
+    t_host = max(total - t_seg, 1e-6)
+    fleet8 = n_frames / (t_host + t_seg / 8.0)
+    return {
+        "perception_device_s_per_clip": round(t_seg, 3),
+        "perception_host_s_per_clip": round(t_host, 3),
+        "perception_fleet_fps_8chip_amdahl": round(fleet8, 1),
+    }
+
+
 # ------------------------------------------------------------ 8B decode
 
 def _build_8b_int8(max_cache_length: int):
@@ -286,20 +355,38 @@ def bench_decode_8b() -> dict:
     return out
 
 
-def bench_qa_lm(n_samples: int = 24) -> dict:
+def bench_qa_lm(n_samples: int = 32,
+                seeds: tuple = (77, 1234, 2026)) -> dict:
     """Held-out grounded-QA accuracy of the shipped self-trained byte LM
     (outputs/qa_lm) through REAL greedy engine decode — the
-    trained-weights capability rung of the reasoning ladder."""
+    trained-weights capability rung of the reasoning ladder.  Mean over
+    ≥3 seeds at n≥32 each (VERDICT r3 #10 / r4 weak #8); the
+    pipeline-rendered serving distribution rides along."""
     from pathlib import Path
 
     if not Path("outputs/qa_lm/qa_lm_config.json").exists():
         return {}
-    from gvl_tpu.training.qa_lm_train import evaluate_qa_lm, load_qa_lm
+    from gvl_tpu.models.qwen3 import Qwen3Engine
+    from gvl_tpu.training.qa_lm_train import (
+        EOS_ID,
+        evaluate_qa_lm,
+        load_qa_lm,
+    )
 
     cfg, params = load_qa_lm("outputs/qa_lm")
-    m = evaluate_qa_lm(params, cfg, n_samples=n_samples, seed=77)
-    return {"qa_lm_heldout_acc": round(m["accuracy"], 3),
-            "qa_lm_heldout_n": n_samples}
+    engine = Qwen3Engine(cfg, {"params": params}, eos_token_id=EOS_ID)
+    max_len = min(cfg.max_cache_length, 4096)
+    accs = [evaluate_qa_lm(params, cfg, n_samples=n_samples, seed=s,
+                           engine=engine, max_len=max_len)["accuracy"]
+            for s in seeds]
+    pipe = [evaluate_qa_lm(params, cfg, n_samples=n_samples, seed=s,
+                           engine=engine, pipeline=True,
+                           max_len=max_len)["accuracy"]
+            for s in seeds[:2]]
+    return {"qa_lm_heldout_acc": round(float(np.mean(accs)), 3),
+            "qa_lm_heldout_acc_by_seed": [round(a, 3) for a in accs],
+            "qa_lm_pipeline_acc": round(float(np.mean(pipe)), 3),
+            "qa_lm_heldout_n": n_samples * len(seeds)}
 
 
 def bench_asr(n_utterances: int = 32) -> dict:
@@ -413,6 +500,7 @@ def main() -> None:
              "perception_e2e_fps": round(e2e_fps, 1),
              "perception_backends": e2e_backends}
     if ON_TPU:
+        extra.update(bench_perception_dp_split())
         extra.update(bench_decode_8b())
         extra["decode_vs_target"] = round(
             extra["decode_tok_s_8b"] / TARGET_DECODE_TOK_S, 2)

@@ -132,16 +132,19 @@ TEMPLATES: dict[str, tuple[str, ...]] = {
 
 def sample_word_context(rng: np.random.Generator,
                         family: Optional[str] = None,
-                        max_bytes: int = 32) -> tuple[str, str, str]:
+                        max_bytes: int = 32,
+                        blank_prob: float = 0.8) -> tuple[str, str, str]:
     """(word, context_sentence, family).
 
-    The context keeps the blank FILLED with the word (plain commentary
-    text); the pairing objective contrasts word-vs-sentence, so the word
-    also appearing inline is exactly the distributional signal wanted
-    (same as a word2vec window containing the target).  Hostile
-    subjects sometimes carry a size adjective: big ones for boss words,
-    small ones for enemy words — that is scene statistics ("giant"
-    co-occurs with boss-scale subjects), not a label.
+    With probability ``blank_prob`` the context carries a ``_`` where
+    the word goes (CBOW-style): synonyms then share byte-identical
+    contexts, so their embeddings are pulled toward identical targets —
+    the strongest purely-distributional convergence signal.  The rest
+    keep the word inline (plain commentary, like a word2vec window
+    containing the target).  Hostile subjects sometimes carry a size
+    adjective: big ones for boss words, small ones for enemy words —
+    scene statistics ("giant" co-occurs with boss-scale subjects), not
+    a label.
     """
     fam = family or str(rng.choice(list(FAMILIES)))
     word = str(rng.choice(FAMILIES[fam]))
@@ -150,6 +153,8 @@ def sample_word_context(rng: np.random.Generator,
         surface = f"{rng.choice(BIG_ADJ)} {word}"
     elif fam == "enemy" and rng.random() < 0.15:
         surface = f"{rng.choice(SMALL_ADJ)} {word}"
+    if rng.random() < blank_prob:
+        surface = "_"
     for _ in range(8):
         sent = str(rng.choice(TEMPLATES[fam])).format(surface)
         if len(sent.encode("utf-8")) <= max_bytes:
