@@ -133,6 +133,14 @@ def main(argv=None) -> int:
     params = train_qa_lm(cfg, init_params=init_params)
     logger.info("trained in %.1f s", time.time() - t0)
 
+    if args.eval_samples <= 0:
+        # supervisor-chunked runs: save immediately, eval at the end of
+        # the ladder only (the tunnel can stall mid-run; short chunks
+        # with warm restarts bound the loss)
+        save_qa_lm(params, args.out, cfg.model)
+        logger.info("saved %s (eval skipped)", args.out)
+        return 0
+
     metrics = evaluate_qa_lm(params, cfg.model,
                              n_samples=args.eval_samples,
                              max_len=cfg.max_len)
