@@ -875,8 +875,16 @@ def create_reasoning_core(
         model_config, params = load_qa_lm(checkpoint_path)
         variables = {"params": params}
         if lora_path and Path(lora_path, "adapter_config.json").exists():
-            model_config, variables = load_adapter_and_merge(
-                model_config, variables, lora_path)
+            try:
+                model_config, variables = load_adapter_and_merge(
+                    model_config, variables, lora_path)
+            except ValueError as exc:
+                # stale adapter trained over a different base geometry
+                # (reference ladder: PEFT apply failures fall back to the
+                # base model, qwen_reasoning_core.py:1846-1863) — serve
+                # the base weights rather than dying at merge time
+                logger.warning("skipping LoRA adapter %s: %s",
+                               lora_path, exc)
         engine = Qwen3Engine(model_config, variables,
                              eos_token_id=EOS_ID)
         backend = Qwen3ChatBackend(engine, ByteTokenizer())

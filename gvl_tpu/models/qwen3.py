@@ -907,6 +907,17 @@ def load_adapter_and_merge(
                 if isinstance(value, dict):
                     load(value, path)
                 elif path in flat:
+                    if tuple(flat[path].shape) != tuple(value.shape):
+                        # an adapter trained over a DIFFERENT base
+                        # geometry (e.g. the v4 15M rung after the base
+                        # checkpoint moved to v5 62M) would otherwise be
+                        # grafted silently and explode inside merge_lora
+                        raise ValueError(
+                            f"adapter tensor {path} has shape "
+                            f"{tuple(flat[path].shape)} but the base "
+                            f"geometry expects {tuple(value.shape)}; "
+                            f"the adapter in {adapter_dir} was trained "
+                            "over an incompatible base checkpoint")
                     tree[key] = jnp.asarray(flat[path])
 
         load(params)

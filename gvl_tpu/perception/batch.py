@@ -237,8 +237,10 @@ def build_siglip_encoder(config, mesh=None):
     def _fused(cfg):
         # the fused W8A8 serving tower applies to the big (so400m/HF)
         # towers; the trained mini tower is already cheap and keeps its
-        # exact bf16 numerics
-        if getattr(p, "siglip_fused", False):
+        # exact bf16 numerics.  An EXPLICIT siglip_int8 request picks
+        # the XLA int8 path over the fused default.
+        if getattr(p, "siglip_fused", False) and not (
+                cfg is not None and cfg.quant_int8):
             from gvl_tpu.perception.semantic import NaFlexConfig
 
             cfg = cfg or NaFlexConfig()

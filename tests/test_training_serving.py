@@ -384,6 +384,45 @@ class TestAdapterMerge:
             np.asarray(merged_out), np.asarray(with_lora),
             atol=1e-4, rtol=1e-4)
 
+    def test_stale_adapter_geometry_rejected(self, tmp_path):
+        """An adapter trained over a different base geometry raises a
+        clear ValueError instead of being grafted silently (the shipped
+        ladder moved the qa_lm base from the 15M v4 to the 62M v5
+        geometry — a stale outputs/lora_adapter must not crash serving
+        deep inside merge_lora)."""
+        from gvl_tpu.models.qwen3 import (
+            Qwen3Config, Qwen3Model, load_adapter_and_merge,
+        )
+
+        cfg = Qwen3Config.tiny(lora_rank=4, max_cache_length=64)
+        model = Qwen3Model(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        from gvl_tpu.models.sam import hash_tokenize
+
+        tokenize = lambda t: [x for x in
+                              hash_tokenize(t, cfg.vocab_size, 16).tolist()
+                              if x != 0]
+        trainer = LoraTrainer(
+            model, params, tokenize,
+            LoraTrainingConfig(epochs=1, max_seq_len=32, grad_accum_steps=1,
+                               output_dir=str(tmp_path / "lora")))
+        trainer.train([
+            {"messages": [
+                {"role": "user", "content": "hi"},
+                {"role": "assistant", "content": "hello"},
+            ]},
+        ])
+
+        big_cfg = Qwen3Config.tiny(lora_rank=0, max_cache_length=64,
+                                   hidden_size=Qwen3Config.tiny().hidden_size
+                                   * 2)
+        big_params = Qwen3Model(big_cfg).init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))["params"]
+        with pytest.raises(ValueError, match="incompatible base"):
+            load_adapter_and_merge(big_cfg, {"params": big_params},
+                                   tmp_path / "lora")
+
 
 class TestChatEndpoint:
     """POST /chat — per-session KV prefix caching over HTTP."""
