@@ -381,10 +381,17 @@ class Qwen3ChatBackend:
             keep = max(limit - config.max_new_tokens - n_prefix,
                        limit // 2)
             if len(ids) > keep:
+                # keep the HEAD (the system protocol — answer format,
+                # citation rules) and the TAIL (recent context + the
+                # question); drop the middle.  A pure front-trim loses
+                # the **Answer:** protocol and the model reverts to
+                # free-form replies the parsers reject.
+                head = min(keep // 4, 1024)
                 logger.warning(
                     "prompt %d tokens > budget %d (cache %d); "
-                    "front-trimming", len(ids), keep, limit)
-                ids = ids[-keep:]
+                    "middle-trimming (head %d)", len(ids), keep, limit,
+                    head)
+                ids = ids[:head] + ids[-(keep - head):]
         produced: list[int] = []
         emitted = 0
         if inputs_embeds_prefix is None and self.spec_engine is not None:
@@ -669,7 +676,19 @@ class ReasoningCore:
             self.retriever.index_timeline(timeline_indexer)
         events = self.retriever.hybrid_retrieve(query, timeline_indexer)
         self._last_retrieved_events = events
-        timeline_context = self.format_timeline_context(events)
+        # byte-level engines (the trained QA-LM rung) have 1 token ==
+        # 1 byte, so the reference's ~4-chars/token budgets overflow
+        # their cache ~4x on event-dense videos and the backend's
+        # emergency trim then cuts real context.  When the backend
+        # declares its byte capacity, fit each section to it up front.
+        byte_budget = getattr(self.backend, "context_byte_budget", None)
+        if byte_budget:
+            avail = max(int(byte_budget) - self.config.max_new_tokens
+                        - 256, 512)        # 256 = ChatML + question slack
+            timeline_context = self.format_timeline_context(
+                events, max_tokens=max(avail * 35 // 100 // 4, 64))
+        else:
+            timeline_context = self.format_timeline_context(events)
 
         region_tokens = (
             self.visual_processor.process_region_tokens(region_detections)
@@ -679,6 +698,10 @@ class ReasoningCore:
             knowledge_base.export_for_llm(max_entities=15, max_relationships=20)
             if knowledge_base is not None else None
         )
+        if byte_budget and kb_context:
+            kb_cap = avail * 30 // 100
+            if len(kb_context) > kb_cap:
+                kb_context = kb_context[:kb_cap] + "\n... (truncated)"
         messages = self.build_prompt(
             query=query,
             timeline_context=timeline_context,

@@ -450,7 +450,17 @@ def _build_pipeline_scene(rng: np.random.Generator, duration: float,
         indexer.add_event(t, ModalityType.VISUAL, f"{label} detected",
                           entity_id=f"{label}_000",
                           confidence=float(rng.uniform(0.6, 0.99)))
-    n_audio = int(rng.integers(2, 5))
+    # the REAL phase loaders only render a soundtrack for the audio
+    # question families (synthetic://...&audio=1); binary/concept-MCQ
+    # clips have ZERO audio timeline lines.  The r5 phase runs measured
+    # the v5 arm at 0.44 while its in-distribution pipeline eval said
+    # 0.83 — the training scenes were audio-dense where serving is
+    # audio-silent, and the model reverted to its "Yes" prior on the
+    # sparser prompts.  Match the serving marginal: audio-question
+    # scenes keep their events; other scenes are mostly silent.
+    has_audio_question = extra_audio is not None or speech is not None
+    audio_less = not has_audio_question and rng.random() < 0.85
+    n_audio = 0 if audio_less else int(rng.integers(1, 5))
     times = rng.uniform(0, duration, n_audio)
     taken = set()
     if extra_audio is not None:
@@ -473,7 +483,7 @@ def _build_pipeline_scene(rng: np.random.Generator, duration: float,
         indexer.add_event(float(rng.uniform(0.0, 1.5)),
                           ModalityType.SPEECH, _asr_garble(rng, speech),
                           confidence=float(rng.uniform(0.5, 0.95)))
-    if rng.random() < 0.4:
+    if rng.random() < 0.25:
         word = str(rng.choice(HUD_WORDS))
         indexer.add_event(float(rng.uniform(0, duration)),
                           ModalityType.OCR,
@@ -483,6 +493,9 @@ def _build_pipeline_scene(rng: np.random.Generator, duration: float,
 
     kb = KnowledgeBaseBuilder()
     t_last = max(duration - 2.0, 1.0)
+    # serving KBs sometimes carry position-less states (fallback
+    # segmenter paths) and often export an EMPTY relationships section
+    with_pos = rng.random() < 0.8
     for label in labels:
         for k in range(int(rng.integers(2, 7))):
             eid = f"{label}_{k:03d}"
@@ -491,10 +504,13 @@ def _build_pipeline_scene(rng: np.random.Generator, duration: float,
             w = float(rng.uniform(10, 70))
             h = float(rng.uniform(10, 70))
             kb.register_entity(eid, label, timestamp=0.0)
-            kb.update_entity_state(eid, t_last, position=(x, y),
-                                   bbox=(x - w / 2, y - h / 2,
-                                         x + w / 2, y + h / 2))
-    kb.infer_relationships_at(t_last)
+            kb.update_entity_state(
+                eid, t_last,
+                position=(x, y) if with_pos else None,
+                bbox=((x - w / 2, y - h / 2, x + w / 2, y + h / 2)
+                      if with_pos else None))
+    if rng.random() < 0.7:
+        kb.infer_relationships_at(t_last)
     return indexer, kb
 
 
